@@ -1,0 +1,224 @@
+"""The flagship `check all` pipeline — end-to-end validation of a
+sequences fixture directory.
+
+Mirrors the reference's `fastpasta check all` lifecycle (SURVEY.md §3.1):
+
+  pass 1 (payload): per-file streaming validate — stateless sanity checks,
+      running checks, stats sketches — ONE pass over the tokens payload,
+      violations + per-partition stats partials out (stages/validate.py).
+  pass 2 (scalars): key checks (dup / referential / empty) over a
+      column-pruned re-read of the scalar columns only, one hash-bucketed
+      shuffle (checks/key_checks.py). The tokens payload never shuffles.
+  finalize: merge stats partials (driver-side fold of mergeable sketches —
+      the partial counts are one row per input file, tiny), drift gate vs a
+      reference profile (checks/drift.py), report assembly (report.py).
+
+Resumability: with ``out_dir`` set, per-partition violations are written as
+they stream out and a commit record is appended per finished partition;
+``resume=True`` skips committed partitions (state/checkpoint.py) — the
+checkpoint/lineage requirement of BASELINE.json's north_rule (the reference
+itself has none, SURVEY.md §4 "Checkpoint / resume").
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from fastpasta_ray import schema as S
+from fastpasta_ray.checks.drift import (
+    build_profile,
+    custom_count_check,
+    drift_check,
+)
+from fastpasta_ray.checks.key_checks import key_checks
+from fastpasta_ray.sketches import PartStats
+from fastpasta_ray.sources.parquet import file_dataset, read_sequences, sequence_files
+from fastpasta_ray.stages.validate import CheckConfig, ValidateFiles
+
+
+@dataclass
+class CheckResult:
+    violations: pa.Table          # materialized (small: capped per partition)
+    stats_by_part: dict[str, PartStats]
+    report: dict
+    drift_metrics: dict
+
+    @property
+    def any_errors(self) -> bool:  # exit-code analog (init.rs:54)
+        return self.violations.num_rows > 0
+
+
+def collect_table(ds: "ray.data.Dataset", schema: pa.Schema) -> pa.Table:
+    """Stream a (small) dataset result into one Arrow table on the driver."""
+    tables = [t for t in ds.iter_batches(batch_format="pyarrow", batch_size=None)]
+    tables = [t if isinstance(t, pa.Table) else pa.Table.from_batches([t]) for t in tables]
+    tables = [t.cast(schema) for t in tables if t.num_rows]
+    return pa.concat_tables(tables) if tables else schema.empty_table()
+
+
+def _split_sentinel(out: pa.Table) -> tuple[pa.Table, dict[str, PartStats]]:
+    is_stats = pc.equal(out["code"], pa.scalar(S.STATS_SENTINEL))
+    stats_rows = out.filter(is_stats)
+    violations = out.filter(pc.invert(is_stats))
+    stats_by_part: dict[str, PartStats] = {}
+    for part, msg in zip(
+        stats_rows["part"].to_pylist(), stats_rows["message"].to_pylist()
+    ):
+        ps = PartStats.from_json(msg)
+        if part in stats_by_part:
+            stats_by_part[part].merge(ps)
+        else:
+            stats_by_part[part] = ps
+    return violations, stats_by_part
+
+
+def run_check(
+    input_dir: str,
+    cfg: CheckConfig | None = None,
+    *,
+    manifest_path: str | None = None,
+    reference_profile: dict | None = None,
+    with_key_checks: bool = True,
+    out_dir: str | None = None,
+    resume: bool = False,
+    num_buckets: int = 64,
+) -> CheckResult:
+    """Run the full validation pass over a fixture directory."""
+    cfg = cfg or CheckConfig()
+    files = sequence_files(input_dir)
+
+    committed: dict[str, dict] = {}
+    if out_dir is not None:
+        from fastpasta_ray.state.checkpoint import CheckpointStore
+
+        store = CheckpointStore(out_dir)
+        if resume:
+            committed = store.committed()
+        files_todo = [f for f in files if store.part_of(f) not in committed]
+    else:
+        store = None
+        files_todo = files
+
+    # ---- pass 1: per-file streaming validation ---------------------------
+    if files_todo:
+        out = file_dataset(files_todo).map_batches(
+            ValidateFiles(cfg),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        # output only: violations are capped, stats are 1 row/file — small
+        out_t = collect_table(out, S.VIOLATIONS_SCHEMA)
+        violations, stats_by_part = _split_sentinel(out_t)
+    else:
+        violations, stats_by_part = S.VIOLATIONS_SCHEMA.empty_table(), {}
+
+    # ---- restore committed partitions from the checkpoint store ----------
+    if store is not None:
+        if committed:
+            v_prev, s_prev = store.load_committed(committed)
+            violations = pa.concat_tables([violations, v_prev])
+            stats_by_part.update(s_prev)
+        # commit pass-1 outputs only: key-check/drift violations are global
+        # (cross-partition) and recomputed on every run
+        store.commit(files_todo, violations, stats_by_part, committed)
+
+    # ---- pass 2: key checks over pruned scalar columns -------------------
+    if with_key_checks:
+        seq_scalars = read_sequences(
+            files, columns=["doc_id", "n_tok"], batch_rows=cfg.batch_rows
+        )
+        manifest = (
+            ray.data.read_parquet(manifest_path) if manifest_path else None
+        )
+        kv = key_checks(seq_scalars, manifest, num_buckets=num_buckets)
+        kv_t = collect_table(kv, S.VIOLATIONS_SCHEMA)
+        if kv_t.num_rows:
+            violations = pa.concat_tables([violations, kv_t])
+
+    # ---- drift gate vs reference profile ---------------------------------
+    drift_metrics: dict = {}
+    if reference_profile is not None:
+        dv, drift_metrics = drift_check(
+            stats_by_part,
+            reference_profile,
+            psi_threshold=cfg.drift_psi_threshold,
+            ks_threshold=cfg.drift_ks_threshold,
+        )
+        if dv.num_rows:
+            violations = pa.concat_tables([violations, dv])
+
+    # ---- sort violations by position (O2 analog: error_stats.rs:36-47) ---
+    if violations.num_rows:
+        violations = violations.sort_by(
+            [("part", "ascending"), ("row_index", "ascending"), ("code", "ascending")]
+        )
+
+    # ---- report (stats_report.rs analog) ---------------------------------
+    report = make_report(violations, stats_by_part, cfg, reference_profile)
+
+    return CheckResult(violations, stats_by_part, report, drift_metrics)
+
+
+def make_report(
+    violations: pa.Table,
+    stats_by_part: dict[str, PartStats],
+    cfg: CheckConfig,
+    reference_profile: dict | None,
+) -> dict:
+    """Final summary dict — the reference's report table
+    (stats_report.rs:16-64) as data, not formatting."""
+    by_code: dict[str, int] = {}
+    if violations.num_rows:
+        vc = violations.group_by("code").aggregate([("code", "count")])
+        by_code = dict(
+            zip(vc["code"].to_pylist(), vc["code_count"].to_pylist())
+        )
+    profile = build_profile(stats_by_part, by_code)
+    total_rows = profile["row_count"]
+    extra_msgs = custom_count_check(total_rows, cfg.expected_row_count)
+    report = {
+        "total_rows": total_rows,                      # "Total RDHs" analog
+        "total_tokens": profile["token_count"],
+        "total_parts": len(stats_by_part),             # links observed analog
+        "parts": profile["parts"],
+        "doc_id_unique_estimate": profile["doc_id_hll_estimate"],
+        "n_tok": {
+            "min": profile["n_tok_min"],
+            "max": profile["n_tok_max"],
+            "quantiles": profile["n_tok_quantiles"],
+        },
+        "token_range": {"min": profile["token_min"], "max": profile["token_max"]},
+        "source_histogram": profile["source_histogram"],
+        "violations_total": violations.num_rows,
+        "violations_by_code": dict(sorted(by_code.items())),
+        "unique_error_codes": sorted(by_code),         # G5 analog
+        "custom_check_messages": extra_msgs,
+        "any_errors": violations.num_rows > 0 or bool(extra_msgs),
+    }
+    return report
+
+
+def error_display_lines(violations: pa.Table, limit: int | None = None) -> list[str]:
+    """Formatted error lines, position-sorted, optionally capped —
+    the ErrPrinter analog (err_printer.rs:14-47)."""
+    t = violations
+    if limit is not None:
+        t = t.slice(0, limit)
+    return [
+        f"{p}:{r}: {m}"
+        for p, r, m in zip(
+            t["part"].to_pylist(), t["row_index"].to_pylist(), t["message"].to_pylist()
+        )
+    ]
+
+
+def write_stats(report: dict, path: str) -> None:
+    """JSON stats snapshot sink (StatsCollector::write_stats analog)."""
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True)

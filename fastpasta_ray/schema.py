@@ -1,0 +1,113 @@
+"""Arrow schemas, error-code taxonomy and frozen message formats.
+
+The error-code taxonomy mirrors the reference's ``[Exx]`` codes
+(/root/reference/README.md:211-222) and its frozen message format
+``MEM_OFFSET: [Exx] message`` (fastpasta/src/analyze/validators/its/util.rs:9-30).
+Our position analog is ``(part, row_index)`` — partition id (one input file,
+the analog of a GBT link) plus row index within the file.
+
+Message strings are FROZEN: tests assert them byte-exactly, mirroring the
+reference's exact-string asserts (fastpasta/src/analyze/validators/its/
+cdp_running.rs:520-531).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# --- vocabulary / domain defaults (FIXTURES.md) ---------------------------
+VOCAB_SIZE = 50304
+SOURCES = ("web", "books", "code", "wiki", "news", "forums", "academic", "legal")
+# skew: ~70% of mass in the top source (FIXTURES.md: "skewed (~70% mass in top source)")
+SOURCE_WEIGHTS = (0.70, 0.12, 0.06, 0.04, 0.03, 0.02, 0.01, 0.02)
+
+DOC_ID_RE = r"^[a-z]+/\d{4}/\d{8}$"
+
+# --- schemas --------------------------------------------------------------
+SEQUENCES_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("tokens", pa.list_(pa.int32())),
+        ("n_tok", pa.int32()),
+        ("source", pa.string()),
+    ]
+)
+
+# sequences as read by the engine: position columns attached by the source
+SEQUENCES_POS_SCHEMA = pa.schema(
+    [
+        ("part", pa.string()),
+        ("row_index", pa.int64()),
+        ("doc_id", pa.string()),
+        ("tokens", pa.list_(pa.int32())),
+        ("n_tok", pa.int32()),
+        ("source", pa.string()),
+    ]
+)
+
+VIOLATIONS_SCHEMA = pa.schema(
+    [
+        ("part", pa.string()),
+        ("row_index", pa.int64()),
+        ("doc_id", pa.string()),
+        ("code", pa.string()),
+        ("column", pa.string()),
+        ("message", pa.string()),
+    ]
+)
+
+MANIFEST_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("source", pa.string()),
+        ("expected_n_tok", pa.int32()),
+    ]
+)
+
+# --- error codes (reference analogs noted per code) -----------------------
+# stateless sanity (analog of RDH sanity [E10..E16], rdh.rs:254-376)
+E_NTOK_MISMATCH = "E10"      # n_tok != len(tokens)        ~ [E10] RDH sanity field
+E_DOCID_FORMAT = "E12"       # doc_id malformed            ~ [E12] RDH CRU sanity
+E_DOCID_NULL = "E13"         # doc_id null/empty
+E_SOURCE_NULL = "E40"        # source null/empty           ~ [E40] TDH sanity
+E_SOURCE_DOMAIN = "E41"      # source not in domain        ~ [E41] TDH running
+E_TOKEN_RANGE = "E70"        # token id out of vocab range ~ [E70] invalid data-word ID
+E_TOKENS_NULL = "E100"       # tokens list null/truncated  ~ [E100] partial payload at EOF
+# running checks (analog of RdhCruRunningChecker [E11], rdh_running.rs:38-184)
+E_ORDER = "E11"              # non-monotonic doc index within a partition
+# shuffle checks
+E_DUP_DOCID = "E80"          # duplicate doc_id            ~ orbit-must-change (rdh_running.rs:125-133)
+E_ORPHAN = "E71"             # doc_id missing from manifest ~ lane-not-active [E71] (ib.rs:14-22)
+E_MANIFEST_NTOK = "E72"      # n_tok != manifest expected   ~ [E72] lane grouping
+E_EMPTY_DOC = "E701"         # manifest doc with no sequence row ~ [E701] empty readout frame
+# stats / profile comparison (analog of validate_other_stats + custom checks
+# [E9001]/[E9002], stats_validation.rs:4-38)
+E_CUSTOM_COUNT = "E9001"     # user-expected counter mismatch
+E_PROFILE_FIELD = "E9002"    # exact profile field mismatch
+E_DRIFT_PSI = "E9440"        # PSI drift gate breached (per partition)
+E_DRIFT_KS = "E9441"         # KS drift gate breached (per partition)
+
+ALL_CODES = (
+    E_NTOK_MISMATCH, E_DOCID_FORMAT, E_DOCID_NULL, E_SOURCE_NULL,
+    E_SOURCE_DOMAIN, E_TOKEN_RANGE, E_TOKENS_NULL, E_ORDER, E_DUP_DOCID,
+    E_ORPHAN, E_MANIFEST_NTOK, E_EMPTY_DOC, E_CUSTOM_COUNT, E_PROFILE_FIELD,
+    E_DRIFT_PSI, E_DRIFT_KS,
+)
+
+# sentinel code used to carry serialized per-batch partial stats through the
+# single-pass validation output (filtered out of the violations view)
+STATS_SENTINEL = "__STATS__"
+
+
+def format_message(code: str, detail: str) -> str:
+    """Frozen violation message body: ``[Exx] detail``.
+
+    The full display line (analog of the reference's
+    ``MEM_OFFSET: [Exx] message``) is ``{part}:{row_index}: [Exx] detail``,
+    assembled by :func:`display_line`.
+    """
+    return f"[{code}] {detail}"
+
+
+def display_line(part: str, row_index: int, code: str, detail: str) -> str:
+    return f"{part}:{row_index}: [{code}] {detail}"

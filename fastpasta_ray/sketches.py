@@ -1,0 +1,287 @@
+"""Mergeable sketch states: counters, HyperLogLog, int histogram, t-digest-lite.
+
+The reference pre-aggregates counters locally and flushes partials
+(alice_protocol_reader/src/stats.rs:42-119); the single StatsCollector merges
+them (fastpasta/src/stats/stats_collector.rs:34-56). Here every state is
+*mergeable* so partials combine in a tree (groupby().aggregate() or driver
+fold) — strictly better than a single-consumer channel at cluster scale.
+
+All hashing is deterministic across processes: pandas.util.hash_array
+(siphash with a fixed key) for strings, splitmix64 for ints.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import math
+
+import numpy as np
+import pandas as pd
+
+
+def hash_strings(arr) -> np.ndarray:
+    """Deterministic 64-bit hashes of a string array (vectorized)."""
+    a = np.asarray(arr, dtype=object)
+    return pd.util.hash_array(a, categorize=False)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x
+
+
+class HyperLogLog:
+    """Classic HLL (Flajolet et al. 2007) with linear-counting small-range
+    correction. p=14 → 16 KiB registers, ~0.8% relative error — the scale
+    path for doc_id uniqueness at 10^12 rows (exact distinct-sets like the
+    reference's G2 only work for small domains)."""
+
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 14, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        if len(h) == 0:
+            return
+        h = h.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rank = leading zeros of the remaining 64-p bits, +1 (capped)
+        # count leading zeros via bit_length on the 64-bit value
+        nz = rest != 0
+        lz = np.full(len(h), 64 - self.p, dtype=np.uint8)
+        if nz.any():
+            r = rest[nz]
+            # floor(log2) via float conversion is exact for top bit position
+            top = 63 - np.floor(np.log2(r.astype(np.float64))).astype(np.int64)
+            # correct float rounding edge: ensure (r >> (63-top)) has top bit set
+            shift = (np.uint64(63) - top.astype(np.uint64))
+            wrong = (r >> shift) > np.uint64(1)
+            top[wrong] -= 1
+            lz_nz = np.minimum(top, 64 - self.p)
+            lz[nz] = lz_nz.astype(np.uint8)
+        rank = (lz + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def add_strings(self, arr) -> None:
+        self.add_hashes(hash_strings(arr))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        inv = np.ldexp(1.0, -self.registers.astype(np.int64))
+        e = (0.7213 / (1.0 + 1.079 / m)) * m * m / inv.sum()
+        if e <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                return m * math.log(m / zeros)
+        return float(e)
+
+    def to_json(self) -> dict:
+        return {
+            "p": self.p,
+            "registers": base64.b64encode(self.registers.tobytes()).decode(),
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "HyperLogLog":
+        return cls(d["p"], np.frombuffer(base64.b64decode(d["registers"]), dtype=np.uint8).copy())
+
+
+class IntHistogram:
+    """Exact histogram over a bounded non-negative int domain (n_tok).
+
+    Mergeable by addition; yields EXACT quantiles/min/max/mean — the analog
+    of the reference's trigger-type histogram (trigger_stats.rs:52-73) and
+    our replacement for a t-digest where the domain is small ints."""
+
+    __slots__ = ("counts",)
+
+    def __init__(self, counts: dict[int, int] | None = None):
+        self.counts: dict[int, int] = dict(counts or {})
+
+    def add(self, values: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        v, c = np.unique(np.asarray(values), return_counts=True)
+        for vi, ci in zip(v.tolist(), c.tolist()):
+            self.counts[int(vi)] = self.counts.get(int(vi), 0) + int(ci)
+
+    def merge(self, other: "IntHistogram") -> "IntHistogram":
+        for k, v in other.counts.items():
+            self.counts[k] = self.counts.get(k, 0) + v
+        return self
+
+    @property
+    def n(self) -> int:
+        return sum(self.counts.values())
+
+    def min(self):
+        return min(self.counts) if self.counts else None
+
+    def max(self):
+        return max(self.counts) if self.counts else None
+
+    def mean(self):
+        n = self.n
+        if not n:
+            return None
+        return sum(k * v for k, v in self.counts.items()) / n
+
+    def quantile(self, q: float):
+        """Exact lower-interpolation quantile."""
+        n = self.n
+        if not n:
+            return None
+        target = max(0, min(n - 1, int(math.ceil(q * n)) - 1 if q > 0 else 0))
+        acc = 0
+        for k in sorted(self.counts):
+            acc += self.counts[k]
+            if acc > target:
+                return k
+        return max(self.counts)
+
+    def quantiles(self, qs=(0.01, 0.25, 0.5, 0.75, 0.99)) -> dict[str, int]:
+        return {f"p{int(q*100)}": self.quantile(q) for q in qs}
+
+    def to_json(self) -> dict:
+        return {str(k): v for k, v in self.counts.items()}
+
+    @classmethod
+    def from_json(cls, d: dict) -> "IntHistogram":
+        return cls({int(k): int(v) for k, v in d.items()})
+
+    def normalized(self, edges: np.ndarray) -> np.ndarray:
+        """Probability mass per bucket for PSI/KS (edges = bucket boundaries)."""
+        keys = np.fromiter(self.counts.keys(), dtype=np.int64, count=len(self.counts))
+        vals = np.fromiter(self.counts.values(), dtype=np.int64, count=len(self.counts))
+        if len(keys) == 0:
+            return np.zeros(len(edges) - 1)
+        idx = np.clip(np.searchsorted(edges, keys, side="right") - 1, 0, len(edges) - 2)
+        out = np.zeros(len(edges) - 1)
+        np.add.at(out, idx, vals)
+        s = out.sum()
+        return out / s if s else out
+
+
+class Counter:
+    """String-keyed counter (source histogram, violation-by-code counts)."""
+
+    __slots__ = ("counts",)
+
+    def __init__(self, counts: dict[str, int] | None = None):
+        self.counts: dict[str, int] = dict(counts or {})
+
+    def add_array(self, arr) -> None:
+        a = np.asarray(arr, dtype=object)
+        if len(a) == 0:
+            return
+        a = np.where(pd.isna(a), "", a)  # nulls count under ""
+        v, c = np.unique(a.astype(str), return_counts=True)
+        for vi, ci in zip(v.tolist(), c.tolist()):
+            self.counts[vi] = self.counts.get(vi, 0) + int(ci)
+
+    def add(self, key: str, n: int = 1) -> None:
+        self.counts[key] = self.counts.get(key, 0) + n
+
+    def merge(self, other: "Counter") -> "Counter":
+        for k, v in other.counts.items():
+            self.counts[k] = self.counts.get(k, 0) + v
+        return self
+
+    def to_json(self) -> dict:
+        return dict(sorted(self.counts.items()))
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Counter":
+        return cls(d)
+
+
+class MinMax:
+    __slots__ = ("lo", "hi")
+
+    def __init__(self, lo=None, hi=None):
+        self.lo, self.hi = lo, hi
+
+    def add(self, values: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        lo, hi = int(values.min()), int(values.max())
+        self.lo = lo if self.lo is None else min(self.lo, lo)
+        self.hi = hi if self.hi is None else max(self.hi, hi)
+
+    def merge(self, other: "MinMax") -> "MinMax":
+        if other.lo is not None:
+            self.add(np.array([other.lo, other.hi]))
+        return self
+
+    def to_json(self):
+        return {"min": self.lo, "max": self.hi}
+
+    @classmethod
+    def from_json(cls, d):
+        return cls(d.get("min"), d.get("max"))
+
+
+class PartStats:
+    """Per-partition mergeable stats bundle — the unit that flows from the
+    validate stage to the final merge (analog of the reference's per-link
+    stats flushed to the Controller)."""
+
+    __slots__ = ("row_count", "token_count", "hll", "n_tok_hist", "source_hist", "token_mm")
+
+    def __init__(self):
+        self.row_count = 0
+        self.token_count = 0
+        self.hll = HyperLogLog()
+        self.n_tok_hist = IntHistogram()
+        self.source_hist = Counter()
+        self.token_mm = MinMax()
+
+    def merge(self, other: "PartStats") -> "PartStats":
+        self.row_count += other.row_count
+        self.token_count += other.token_count
+        self.hll.merge(other.hll)
+        self.n_tok_hist.merge(other.n_tok_hist)
+        self.source_hist.merge(other.source_hist)
+        self.token_mm.merge(other.token_mm)
+        return self
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "row_count": self.row_count,
+                "token_count": self.token_count,
+                "hll": self.hll.to_json(),
+                "n_tok_hist": self.n_tok_hist.to_json(),
+                "source_hist": self.source_hist.to_json(),
+                "token_mm": self.token_mm.to_json(),
+            }
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "PartStats":
+        d = json.loads(s)
+        ps = cls()
+        ps.row_count = d["row_count"]
+        ps.token_count = d["token_count"]
+        ps.hll = HyperLogLog.from_json(d["hll"])
+        ps.n_tok_hist = IntHistogram.from_json(d["n_tok_hist"])
+        ps.source_hist = Counter.from_json(d["source_hist"])
+        ps.token_mm = MinMax.from_json(d["token_mm"])
+        return ps

@@ -1,0 +1,103 @@
+"""Sequence-table sources: per-file ordered streaming reads with positions.
+
+The reference reads one file sequentially and attaches a memory offset to
+every record (input_scanner.rs:141-189). Our analog: each partition file is
+read by ONE Ray task, sequentially, in row-group order, attaching
+``part`` (file stem) and ``row_index`` (0-based row within the file).
+Parallelism is across files — exactly the reference's per-link ordering
+contract (SURVEY.md §4 "Ordering assumption"). At 100 TB the file count is
+large, so per-file parallelism saturates the cluster; within-file order is
+what the running checks (R1 analogs) require.
+
+For operators that do NOT need order (shuffle checks, stats over scalar
+columns) use :func:`read_sequences` with ``columns=`` pruning — only the
+needed columns leave storage (the tokens payload dominates bytes, so a
+scalar-only second pass is cheap).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections.abc import Iterator
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+DEFAULT_BATCH_ROWS = 8192
+
+
+def sequence_files(input_dir: str) -> list[str]:
+    """Sorted partition files of a fixture dir (excludes the _manifest)."""
+    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    return [f for f in files if not os.path.basename(f).startswith("_")]
+
+
+def part_of(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def iter_file_batches(
+    path: str,
+    columns: list[str] | None = None,
+    batch_rows: int = DEFAULT_BATCH_ROWS,
+) -> Iterator[pa.Table]:
+    """Stream one file in order, attaching part + row_index columns."""
+    part = part_of(path)
+    pf = pq.ParquetFile(path)
+    row_off = 0
+    for rb in pf.iter_batches(batch_size=batch_rows, columns=columns):
+        t = pa.Table.from_batches([rb])
+        n = t.num_rows
+        pos = pa.table(
+            {
+                "part": pa.array([part] * n, type=pa.string()),
+                "row_index": pa.array(range(row_off, row_off + n), type=pa.int64()),
+            }
+        )
+        row_off += n
+        yield pa.table(
+            {**{c: pos[c] for c in pos.column_names}, **{c: t[c] for c in t.column_names}}
+        )
+
+
+class _ReadFiles:
+    """map_batches callable: a batch of file descriptors → stream of row
+    batches with positions. Generator output keeps memory bounded (Ray Data
+    treats yielded tables as separate output blocks — streaming, not
+    accumulate-then-return)."""
+
+    def __init__(self, columns: list[str] | None, batch_rows: int):
+        self.columns = columns
+        self.batch_rows = batch_rows
+
+    def __call__(self, fd: pa.Table) -> Iterator[pa.Table]:
+        for path in fd["path"].to_pylist():
+            yield from iter_file_batches(path, self.columns, self.batch_rows)
+
+
+def file_dataset(files: list[str]) -> "ray.data.Dataset":
+    """One block per file so each file is processed by exactly one task."""
+    return ray.data.from_items(
+        [{"path": p} for p in files], override_num_blocks=max(1, len(files))
+    )
+
+
+def read_sequences(
+    input_dir_or_files: str | list[str],
+    columns: list[str] | None = None,
+    batch_rows: int = DEFAULT_BATCH_ROWS,
+) -> "ray.data.Dataset":
+    """Dataset of sequence rows with (part, row_index) position columns."""
+    files = (
+        sequence_files(input_dir_or_files)
+        if isinstance(input_dir_or_files, str)
+        else list(input_dir_or_files)
+    )
+    return file_dataset(files).map_batches(
+        _ReadFiles(columns, batch_rows),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -1,0 +1,131 @@
+"""The per-partition validator stage — the LinkValidator analog.
+
+The reference spawns one validator thread per link that consumes that
+link's records in order and runs sanity + running checks, sending error
+strings and stat increments to a central collector
+(fastpasta/src/analyze/validators/link_validator.rs:110-161,
+validator_dispatcher.rs:68-163). Ray-Data-native equivalent: each partition
+FILE is one unit of a ``map_batches`` stage over a dataset of file
+descriptors; the callable streams the file's row batches in order, runs
+
+  - vectorized stateless row checks (row_checks.py, C-analogs),
+  - the running monotonicity check carrying state across batches (R1 analog),
+  - mergeable stats accumulation (PartStats: counters, HLL, histograms),
+
+and yields violation tables as it goes (streaming, bounded memory). At file
+end it emits ONE sentinel row carrying the serialized PartStats — so a
+single pass over the payload produces both the violations table and the
+stats partials (the reference's stats channel, but data-parallel and
+mergeable instead of a single consumer).
+
+Violations per partition are capped (``max_errors_per_part``) — the
+documented divergence from the reference's global ``max_tolerate_errors``
+early-stop (SURVEY.md G8: no clean global counter in a streaming dataset).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from fastpasta_ray import schema as S
+from fastpasta_ray.checks.row_checks import run_row_checks
+from fastpasta_ray.checks.running_checks import RunningState
+from fastpasta_ray.sketches import PartStats, hash_strings
+from fastpasta_ray.sources.parquet import DEFAULT_BATCH_ROWS, iter_file_batches
+
+
+@dataclass
+class CheckConfig:
+    vocab: int = S.VOCAB_SIZE
+    source_domain: tuple = S.SOURCES
+    batch_rows: int = DEFAULT_BATCH_ROWS
+    max_errors_per_part: int = 10_000
+    running_checks: bool = True          # `check all` vs `check sanity` analog
+    enabled_codes: tuple | None = None   # None = all (error-code filter analog)
+    expected_row_count: int | None = None  # custom-checks `cdps` analog (E9001)
+    drift_psi_threshold: float = 0.2
+    drift_ks_threshold: float = 0.15
+    extra: dict = field(default_factory=dict)
+
+
+def _filter_codes(v: pa.Table, enabled: tuple | None) -> pa.Table:
+    if enabled is None or v.num_rows == 0:
+        return v
+    import pyarrow.compute as pc
+
+    return v.filter(pc.is_in(v["code"], value_set=pa.array(list(enabled))))
+
+
+class ValidateFiles:
+    """Callable class for ``map_batches`` (actor pool): constant setup
+    (domain sets, config) happens once per actor in ``__init__``; each
+    ``__call__`` validates whole files."""
+
+    def __init__(self, cfg: CheckConfig | None = None):
+        self.cfg = cfg or CheckConfig()
+
+    def __call__(self, fd: pa.Table) -> Iterator[pa.Table]:
+        for path in fd["path"].to_pylist():
+            yield from self.validate_file(path)
+
+    def validate_file(self, path: str) -> Iterator[pa.Table]:
+        cfg = self.cfg
+        stats = PartStats()
+        running = RunningState() if cfg.running_checks else None
+        emitted = 0
+        part = None
+        for batch in iter_file_batches(path, None, cfg.batch_rows):
+            part = batch["part"][0].as_py() if part is None else part
+            # --- stats accumulation (vectorized, one pass) -----------------
+            stats.row_count += batch.num_rows
+            tokens = batch["tokens"].combine_chunks()
+            flat = tokens.flatten()
+            stats.token_count += len(flat)
+            if len(flat):
+                vals = flat.to_numpy(zero_copy_only=False)
+                stats.token_mm.add(vals)
+            ntok = batch["n_tok"].combine_chunks().to_numpy(zero_copy_only=False)
+            stats.n_tok_hist.add(ntok)
+            stats.source_hist.add_array(
+                batch["source"].combine_chunks().to_pylist()
+            )
+            stats.hll.add_hashes(
+                hash_strings(batch["doc_id"].combine_chunks().to_pylist())
+            )
+            # --- checks ----------------------------------------------------
+            if emitted < cfg.max_errors_per_part:
+                v = run_row_checks(
+                    batch, vocab=cfg.vocab, source_domain=cfg.source_domain
+                )
+                if running is not None:
+                    rv = running.check_batch(batch)
+                    if rv.num_rows:
+                        v = pa.concat_tables([v, rv])
+                elif running is None:
+                    pass
+                v = _filter_codes(v, cfg.enabled_codes)
+                if v.num_rows:
+                    room = cfg.max_errors_per_part - emitted
+                    if v.num_rows > room:
+                        v = v.slice(0, room)
+                    emitted += v.num_rows
+                    yield v
+            elif running is not None:
+                # keep running state advancing even when capped
+                running.check_batch(batch)
+        # --- one sentinel row per file carrying the serialized partials ----
+        part = part or "?"
+        yield pa.table(
+            {
+                "part": pa.array([part], type=pa.string()),
+                "row_index": pa.array([-1], type=pa.int64()),
+                "doc_id": pa.array([None], type=pa.string()),
+                "code": pa.array([S.STATS_SENTINEL], type=pa.string()),
+                "column": pa.array([""], type=pa.string()),
+                "message": pa.array([stats.to_json()], type=pa.string()),
+            },
+            schema=S.VIOLATIONS_SCHEMA,
+        )

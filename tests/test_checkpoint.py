@@ -1,0 +1,59 @@
+"""Resume semantics: killed run → restart reprocesses only uncommitted
+partitions; final outputs identical to an uninterrupted run (FIXTURES.md
+test protocol #5). The reference has no checkpointing — this is north-rule
+new design (state/checkpoint.py)."""
+
+import json
+import os
+
+from fastpasta_ray.pipelines.check import run_check
+from fastpasta_ray.state.checkpoint import CheckpointStore
+from fastpasta_ray.synth import SynthSpec, write_fixture
+
+
+def test_commit_and_resume(tmp_path):
+    d = str(tmp_path / "fix")
+    out = str(tmp_path / "out")
+    write_fixture(d, SynthSpec(n_rows=200, n_parts=4), defect="bad_len", defect_k=3)
+
+    # full run with checkpointing
+    r1 = run_check(d, with_key_checks=False, out_dir=out)
+    store = CheckpointStore(out)
+    committed = store.committed()
+    assert sorted(committed) == [f"part-{i:04d}" for i in range(4)]
+    rec = committed["part-0000"]
+    assert rec["status"] == "committed"
+    assert rec["row_count"] == 200
+    assert rec["violation_count"] == 3
+    assert rec["input_path"].endswith("part-0000.parquet")
+
+    # simulate a crash that lost partitions 2,3: delete their commit records
+    for p in ("part-0002", "part-0003"):
+        os.remove(os.path.join(out, "commits", f"{p}.json"))
+
+    # resumed run: only 2,3 reprocess; result identical to uninterrupted run
+    r2 = run_check(d, with_key_checks=False, out_dir=out, resume=True)
+    assert r2.report == r1.report
+    assert r2.violations.num_rows == r1.violations.num_rows
+    assert (
+        r2.violations.sort_by([("part", "ascending"), ("row_index", "ascending")])
+        .equals(
+            r1.violations.sort_by([("part", "ascending"), ("row_index", "ascending")])
+        )
+    )
+
+
+def test_resume_skips_committed(tmp_path, monkeypatch):
+    """A resumed run must not re-read committed partitions at all."""
+    d = str(tmp_path / "fix")
+    out = str(tmp_path / "out")
+    write_fixture(d, SynthSpec(n_rows=100, n_parts=3))
+    run_check(d, with_key_checks=False, out_dir=out)
+
+    # poison one committed file on disk — resume must not touch it
+    poisoned = os.path.join(d, "part-0001.parquet")
+    with open(poisoned, "wb") as f:
+        f.write(b"not a parquet file")
+    r = run_check(d, with_key_checks=False, out_dir=out, resume=True)
+    assert r.report["total_rows"] == 300
+    assert not r.any_errors

@@ -1,0 +1,213 @@
+"""Golden-corpus integration tests: full pipeline on each seeded fixture,
+asserting exact violation sets + report counters — the analog of the
+reference's per-corpus-file integration tests
+(fastpasta/tests/fastpasta_1_hbf_bad_its_payload.rs:15-51)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fastpasta_ray.pipelines.check import (
+    error_display_lines,
+    run_check,
+    write_stats,
+)
+from fastpasta_ray.stages.validate import CheckConfig
+from fastpasta_ray.synth import SynthSpec, write_fixture
+
+SPEC = SynthSpec(n_rows=400, n_parts=3, mean_n_tok=32)
+
+
+def fixture(fixtures_dir, name, **kw):
+    d = os.path.join(fixtures_dir, name)
+    if not os.path.isdir(d):
+        info = write_fixture(d, SynthSpec(n_rows=400, n_parts=3, mean_n_tok=32), **kw)
+        return d, info
+    return d, None
+
+
+def test_clean_fixture_zero_violations(fixtures_dir):
+    d, info = fixture(fixtures_dir, "clean")
+    res = run_check(d, manifest_path=os.path.join(d, "_manifest.parquet"))
+    assert res.violations.num_rows == 0, error_display_lines(res.violations)[:5]
+    assert not res.any_errors
+    assert res.report["total_rows"] == 1200
+    assert res.report["total_parts"] == 3
+    assert res.report["violations_by_code"] == {}
+    # HLL estimate within 5% of exact distinct (1200 unique doc_ids)
+    assert abs(res.report["doc_id_unique_estimate"] - 1200) / 1200 < 0.05
+    # source histogram sums to row count
+    assert sum(res.report["source_histogram"].values()) == 1200
+
+
+def test_bad_len_exact_rows(fixtures_dir):
+    d, info = fixture(fixtures_dir, "bad_len", defect="bad_len", defect_k=5)
+    res = run_check(d, with_key_checks=False)
+    v = res.violations
+    assert v.num_rows == 5
+    assert set(v["code"].to_pylist()) == {"E10"}
+    got = sorted(
+        (p, r) for p, r in zip(v["part"].to_pylist(), v["row_index"].to_pylist())
+    )
+    exp = sorted(("part-0000", r) for r in info["defect_rows"]["part-0000"])
+    assert got == exp
+
+
+def test_bad_vocab_exact_rows(fixtures_dir):
+    d, info = fixture(fixtures_dir, "bad_vocab", defect="bad_vocab", defect_k=7)
+    res = run_check(d, with_key_checks=False)
+    v = res.violations
+    assert v.num_rows == 7
+    assert set(v["code"].to_pylist()) == {"E70"}
+    got = sorted(v["row_index"].to_pylist())
+    assert got == sorted(info["defect_rows"]["part-0000"])
+
+
+def test_bad_null_source(fixtures_dir):
+    d, info = fixture(
+        fixtures_dir, "bad_null_source", defect="bad_null_source", defect_k=6
+    )
+    res = run_check(d, with_key_checks=False)
+    v = res.violations
+    assert v.num_rows == 6
+    assert set(v["code"].to_pylist()) <= {"E40", "E41"}
+    assert sorted(v["row_index"].to_pylist()) == sorted(
+        info["defect_rows"]["part-0000"]
+    )
+
+
+def test_bad_order_running_check(fixtures_dir):
+    d, info = fixture(fixtures_dir, "bad_order", defect="bad_order", defect_k=4)
+    res = run_check(d, with_key_checks=False)
+    v = res.violations
+    order = v.filter(
+        __import__("pyarrow.compute", fromlist=["equal"]).equal(v["code"], "E11")
+    )
+    assert order.num_rows == 4
+    assert set(order["part"].to_pylist()) == {"part-0000"}
+    assert sorted(order["row_index"].to_pylist()) == sorted(
+        info["defect_rows"]["part-0000"]
+    )
+
+
+def test_bad_dup_doc_id_key_check(fixtures_dir):
+    d, info = fixture(
+        fixtures_dir, "bad_dup", defect="bad_dup_doc_id", defect_k=5
+    )
+    res = run_check(d, cfg=CheckConfig(running_checks=False))
+    import pyarrow.compute as pc
+
+    v = res.violations
+    dups = v.filter(pc.equal(v["code"], "E80"))
+    assert dups.num_rows == 5
+    assert set(dups["part"].to_pylist()) == {"part-0000"}
+
+
+def test_truncated_tail(fixtures_dir):
+    d, info = fixture(fixtures_dir, "truncated", defect="truncated", defect_k=3)
+    res = run_check(d, with_key_checks=False)
+    v = res.violations
+    assert set(v["code"].to_pylist()) == {"E100"}
+    assert sorted(v["row_index"].to_pylist()) == [397, 398, 399]
+
+
+def test_orphan_and_empty_docs(fixtures_dir, tmp_path):
+    """bad_dup fixture has rows whose doc_id was overwritten → the original
+    ids become manifest-only (E701 empty) and dup ids appear twice; also the
+    manifest n_tok check fires where the copied row disagrees."""
+    import pyarrow.compute as pc
+
+    d, info = fixture(fixtures_dir, "bad_dup2", defect="bad_dup_doc_id", defect_k=4)
+    res = run_check(
+        d,
+        cfg=CheckConfig(running_checks=False),
+        manifest_path=os.path.join(d, "_manifest.parquet"),
+    )
+    v = res.violations
+    empty = v.filter(pc.equal(v["code"], "E701"))
+    assert empty.num_rows == 4  # overwritten ids no longer present
+    assert set(empty["part"].to_pylist()) == {"__manifest__"}
+    dups = v.filter(pc.equal(v["code"], "E80"))
+    assert dups.num_rows == 4
+
+
+def test_drift_gate(fixtures_dir):
+    """bad_drift: one partition from a shifted distribution → that partition
+    (and only it) fails the PSI/KS drift gate vs the clean profile."""
+    from fastpasta_ray.checks.drift import build_profile
+
+    d_clean, _ = fixture(fixtures_dir, "clean")
+    clean = run_check(d_clean, with_key_checks=False)
+    profile = build_profile(clean.stats_by_part)
+
+    d, _ = fixture(fixtures_dir, "bad_drift", defect="bad_drift", defect_parts=(1,))
+    res = run_check(d, with_key_checks=False, reference_profile=profile)
+    import pyarrow.compute as pc
+
+    drift = res.violations.filter(
+        pc.is_in(res.violations["code"], value_set=__import__("pyarrow").array(["E9440", "E9441"]))
+    )
+    assert drift.num_rows > 0
+    assert set(drift["part"].to_pylist()) == {"part-0001"}
+    assert res.drift_metrics["part-0001"]["psi_n_tok"] > 0.2
+    assert res.drift_metrics["part-0000"]["psi_n_tok"] < 0.05
+
+
+def test_stats_snapshot_roundtrip(fixtures_dir, tmp_path):
+    """write stats → re-read → compare_profiles == no mismatches; perturb →
+    exact per-field mismatch messages (README.md:191-198 CI round-trip)."""
+    import json
+
+    from fastpasta_ray.checks.drift import build_profile, compare_profiles
+
+    d, _ = fixture(fixtures_dir, "clean")
+    r1 = run_check(d, with_key_checks=False)
+    p1 = build_profile(r1.stats_by_part)
+    path = str(tmp_path / "stats.json")
+    with open(path, "w") as f:
+        json.dump(p1, f)
+    with open(path) as f:
+        p2 = json.load(f)
+    assert compare_profiles(p1, p2) == []
+    p2["row_count"] += 1
+    msgs = compare_profiles(p1, p2)
+    assert msgs == [
+        "[E9002] row_count mismatch: observed 1200 != reference 1201"
+    ]
+
+
+def test_error_code_filter_and_cap(fixtures_dir):
+    """enabled_codes filter (err_printer.rs:52-90 analog) + per-part cap."""
+    d, _ = fixture(fixtures_dir, "bad_len", defect="bad_len", defect_k=5)
+    res = run_check(
+        d, cfg=CheckConfig(enabled_codes=("E70",)), with_key_checks=False
+    )
+    assert res.violations.num_rows == 0  # E10s filtered out
+    res2 = run_check(
+        d, cfg=CheckConfig(max_errors_per_part=2), with_key_checks=False
+    )
+    assert res2.violations.num_rows == 2
+
+
+def test_expected_row_count_custom_check(fixtures_dir):
+    d, _ = fixture(fixtures_dir, "clean")
+    res = run_check(
+        d, cfg=CheckConfig(expected_row_count=999), with_key_checks=False
+    )
+    assert res.report["custom_check_messages"] == [
+        "[E9001] row count 1200 != expected 999"
+    ]
+    assert res.report["any_errors"]
+
+
+def test_determinism_same_fixture_same_result(fixtures_dir, tmp_path):
+    d1 = str(tmp_path / "a")
+    d2 = str(tmp_path / "b")
+    write_fixture(d1, SynthSpec(n_rows=100, n_parts=2))
+    write_fixture(d2, SynthSpec(n_rows=100, n_parts=2))
+    import filecmp
+
+    assert filecmp.cmp(
+        os.path.join(d1, "part-0000.parquet"), os.path.join(d2, "part-0000.parquet")
+    )

@@ -1,0 +1,139 @@
+"""Unit tests: each stateless check on tiny in-memory Arrow tables with
+EXACT expected violation rows (code, position, byte-exact message) —
+mirroring the reference's in-module validator tests
+(fastpasta/src/analyze/validators/rdh.rs:379-825)."""
+
+import pyarrow as pa
+
+from fastpasta_ray import schema as S
+from fastpasta_ray.checks.row_checks import run_row_checks
+from fastpasta_ray.checks.running_checks import RunningState
+
+
+def mk_batch(rows):
+    """rows: list of (doc_id, tokens, n_tok, source)."""
+    return pa.table(
+        {
+            "part": pa.array(["part-0000"] * len(rows), type=pa.string()),
+            "row_index": pa.array(range(len(rows)), type=pa.int64()),
+            "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+            "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([r[2] for r in rows], type=pa.int32()),
+            "source": pa.array([r[3] for r in rows], type=pa.string()),
+        },
+        schema=S.SEQUENCES_POS_SCHEMA,
+    )
+
+
+CLEAN = ("web/0000/00000001", [1, 2, 3], 3, "web")
+
+
+def codes_of(v):
+    return sorted(zip(v["row_index"].to_pylist(), v["code"].to_pylist()))
+
+
+def test_clean_row_no_violations():
+    v = run_row_checks(mk_batch([CLEAN]))
+    assert v.num_rows == 0
+    assert v.schema.equals(S.VIOLATIONS_SCHEMA)
+
+
+def test_ntok_mismatch_exact_row():
+    v = run_row_checks(mk_batch([CLEAN, ("web/0000/00000002", [1, 2], 3, "web")]))
+    assert codes_of(v) == [(1, "E10")]
+    assert v["message"].to_pylist() == ["[E10] n_tok mismatch: expected 3 got 2"]
+
+
+def test_token_out_of_range_reports_first_offender():
+    v = run_row_checks(
+        mk_batch([("web/0000/00000002", [1, 60000, 70000], 3, "web"), CLEAN])
+    )
+    assert codes_of(v) == [(0, "E70")]
+    assert v["message"].to_pylist() == [
+        "[E70] token id 60000 out of range [0, 50304) at index 1"
+    ]
+
+
+def test_negative_token():
+    v = run_row_checks(mk_batch([("web/0000/00000002", [-1, 5], 2, "web")]))
+    assert codes_of(v) == [(0, "E70")]
+    assert "token id -1" in v["message"][0].as_py()
+
+
+def test_null_tokens_truncated():
+    v = run_row_checks(mk_batch([("web/0000/00000002", None, 3, "web")]))
+    assert codes_of(v) == [(0, "E100")]
+    assert v["message"].to_pylist() == ["[E100] tokens list is null (truncated row)"]
+
+
+def test_source_null_empty_and_domain():
+    v = run_row_checks(
+        mk_batch(
+            [
+                ("web/0000/00000001", [1], 1, None),
+                ("web/0000/00000002", [1], 1, ""),
+                ("zzz/0000/00000003", [1], 1, "zzz"),
+            ]
+        )
+    )
+    assert codes_of(v) == [(0, "E40"), (1, "E40"), (2, "E41")]
+    assert v["message"].to_pylist()[2] == "[E41] source 'zzz' not in domain"
+
+
+def test_doc_id_format_and_null():
+    v = run_row_checks(
+        mk_batch(
+            [
+                (None, [1], 1, "web"),
+                ("", [1], 1, "web"),
+                ("not-a-doc-id", [1], 1, "web"),
+                CLEAN,
+            ]
+        )
+    )
+    assert codes_of(v) == [(0, "E13"), (1, "E13"), (2, "E12")]
+
+
+def test_multiple_codes_one_row():
+    # one row can violate several checks at once
+    v = run_row_checks(mk_batch([("bad", [99999], 5, "nope")]))
+    got = sorted(v["code"].to_pylist())
+    assert got == ["E10", "E12", "E41", "E70"]
+
+
+def test_running_monotonic_across_batches():
+    st = RunningState()
+    b1 = mk_batch([("web/0000/00000005", [1], 1, "web")])
+    v1 = st.check_batch(b1)
+    assert v1.num_rows == 0
+    b2 = mk_batch([("web/0000/00000003", [1], 1, "web")])
+    v2 = st.check_batch(b2)
+    assert codes_of(v2) == [(0, "E11")]
+    assert v2["message"].to_pylist() == [
+        "[E11] doc index not increasing: 3 after 5"
+    ]
+
+
+def test_running_equal_index_is_violation():
+    st = RunningState()
+    b = mk_batch(
+        [
+            ("web/0000/00000001", [1], 1, "web"),
+            ("web/0000/00000001", [1], 1, "web"),
+        ]
+    )
+    v = st.check_batch(b)
+    assert codes_of(v) == [(1, "E11")]
+
+
+def test_running_skips_malformed_ids():
+    st = RunningState()
+    b = mk_batch(
+        [
+            ("web/0000/00000002", [1], 1, "web"),
+            ("garbage", [1], 1, "web"),
+            ("web/0000/00000004", [1], 1, "web"),
+        ]
+    )
+    assert st.check_batch(b).num_rows == 0
+    assert st.last_idx == 4
