@@ -1,191 +1,369 @@
 """Shuffle-dependent key checks: duplicates, referential, empty docs.
 
-Analog of the reference's cross-entity checks — orbit-must-change /
-duplicate detection (rdh_running.rs:125-133 → E80 analog), lane-not-in-IHW
-active-lanes referential check (data_words/ib.rs:14-22 → E71), empty
-readout frame ([E701], readout_frame.rs:96-99).
+Analog of the reference's cross-entity checks — duplicate detection
+(rdh_running.rs:125-133 → E80 analog), lane-not-in-IHW active-lanes
+referential check (data_words/ib.rs:14-22 → E71), empty readout frame
+([E701], readout_frame.rs:96-99), lane-grouping mismatch (→ E72).
 
-Design for 10^12 keys: a naive ``groupby(doc_id).map_groups`` calls the
-group fn once per key — death by per-group overhead. Instead we bucket by
-``hash(doc_id) % num_buckets`` and group by BUCKET: one shuffle, a few
-thousand groups, and all within-bucket logic is vectorized pandas/numpy.
-Hash bucketing is uniform regardless of source skew (the skew defusal the
-north star demands), and ALL FOUR key checks ride the same single shuffle:
+Scale design (10^12 keys):
 
+1. **Slim the shuffle.** Only fixed-width ints move: ``h`` (64-bit siphash
+   of doc_id), ``loc`` (part_idx<<40 | row_index — one int64), ``n_tok``.
+   ~20 B/row instead of ~50 B of strings; int sort beats string sort.
+2. **Hash-bucketed groupby, vectorized within buckets.** ``groupby(bucket)``
+   with ``num_buckets`` groups (not per-key — per-key map_groups dies of
+   per-group overhead at 10^12 keys). All within-bucket logic is pure numpy
+   run-length analysis over the sorted hash array. Hash bucketing is
+   uniform regardless of source skew — the skew defusal the north star
+   demands.
+3. **Late string materialization.** Violations are detected as (h, loc,
+   code) candidates — tiny, capped — then doc_id strings are recovered by a
+   targeted re-read of ONLY the affected partitions/rows and verified by
+   exact string comparison (drops the ~2^-64-probability hash-collision
+   false positives). The full doc_id column never shuffles.
+
+All four checks ride the same single shuffle:
   E80  duplicate doc_id        (within and across partitions)
   E71  doc_id missing from manifest
   E72  n_tok != manifest expected_n_tok
   E701 manifest doc with no sequence row
-
-The manifest side is unioned into the same shuffle with a tag column —
-no join operator needed, and the manifest may be arbitrarily large.
-For SMALL manifests prefer the broadcast variant in referential.py.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray
 
 from fastpasta_ray import schema as S
 from fastpasta_ray.sketches import hash_strings
+from fastpasta_ray.sources.parquet import part_of
 
 MANIFEST_PART = "__manifest__"
+MANIFEST_LOC = np.int64(-1)
+ROW_BITS = np.int64(40)  # row_index < 2^40 rows per partition file
+
+# candidate codes (int8 through the shuffle, mapped to codes at recovery)
+_C_DUP, _C_ORPHAN, _C_NTOK, _C_EMPTY = 1, 2, 3, 4
+_CODE_OF = {_C_DUP: S.E_DUP_DOCID, _C_ORPHAN: S.E_ORPHAN, _C_NTOK: S.E_MANIFEST_NTOK, _C_EMPTY: S.E_EMPTY_DOC}
+
+CANDIDATE_SCHEMA = pa.schema(
+    [
+        ("h", pa.uint64()),
+        ("loc", pa.int64()),
+        ("n_tok", pa.int64()),
+        ("exp_n_tok", pa.int64()),
+        ("cand", pa.int8()),
+    ]
+)
 
 
-def _tagged_seq(batch: pa.Table, num_buckets: int) -> pa.Table:
-    h = hash_strings(batch["doc_id"].combine_chunks().to_pylist())
-    return pa.table(
-        {
-            "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
-            "doc_id": batch["doc_id"],
-            "part": batch["part"],
-            "row_index": batch["row_index"],
-            "n_tok": pa.array(
-                batch["n_tok"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-            ),
-            "tag": pa.array(["s"] * batch.num_rows, type=pa.string()),
-        }
-    )
-
-
-def _tagged_manifest(batch: pa.Table, num_buckets: int) -> pa.Table:
-    h = hash_strings(batch["doc_id"].combine_chunks().to_pylist())
-    n = batch.num_rows
-    return pa.table(
-        {
-            "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
-            "doc_id": batch["doc_id"],
-            "part": pa.array([MANIFEST_PART] * n, type=pa.string()),
-            "row_index": pa.array([-1] * n, type=pa.int64()),
-            "n_tok": pa.array(
-                batch["expected_n_tok"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-            ),
-            "tag": pa.array(["m"] * n, type=pa.string()),
-        }
-    )
-
-
-def _bucket_violations(gt: pa.Table) -> pa.Table:
-    """Vectorized within-bucket detection. Receives one whole bucket as an
-    Arrow table; pandas used internally for the grouped logic; returns an
-    Arrow table with the violations schema (empty-safe)."""
-    g = gt.to_pandas()
-    out: list[pd.DataFrame] = []
-    s = g[g["tag"] == "s"]
-    m = g[g["tag"] == "m"]
-
-    def mk(rows: pd.DataFrame, code: str, column: str, msgs) -> pd.DataFrame:
-        return pd.DataFrame(
+def _tag_seq_factory(part_index: dict[str, int], num_buckets: int):
+    def tag(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].combine_chunks()
+        valid = pc.fill_null(
+            pc.and_(pc.is_valid(did), pc.not_equal(did, pa.scalar(""))), False
+        )
+        batch = batch.filter(valid)  # null/empty doc_ids already got E13
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int32()),
+                    "h": pa.array([], type=pa.uint64()),
+                    "loc": pa.array([], type=pa.int64()),
+                    "n_tok": pa.array([], type=pa.int64()),
+                }
+            )
+        h = hash_strings(batch["doc_id"].combine_chunks().to_pylist())
+        pidx = np.fromiter(
+            (part_index[p] for p in batch["part"].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        loc = (pidx << ROW_BITS) | batch["row_index"].to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                "part": rows["part"].to_numpy(),
-                "row_index": rows["row_index"].to_numpy(),
-                "doc_id": rows["doc_id"].to_numpy(),
-                "code": code,
-                "column": column,
-                "message": msgs,
+                "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+                "h": pa.array(h),
+                "loc": pa.array(loc),
+                "n_tok": pa.array(
+                    batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
             }
         )
 
-    if len(s):
-        # E80: duplicates — keep first occurrence by (part, row_index)
-        s_sorted = s.sort_values(["doc_id", "part", "row_index"], kind="mergesort")
-        dup_mask = s_sorted["doc_id"].duplicated(keep="first")
-        dups = s_sorted[dup_mask]
-        if len(dups):
-            out.append(
-                mk(
-                    dups,
-                    S.E_DUP_DOCID,
-                    "doc_id",
-                    [
-                        S.format_message(S.E_DUP_DOCID, f"duplicate doc_id {d!r}")
-                        for d in dups["doc_id"]
-                    ],
-                )
-            )
-        if len(m):
-            mi = m.drop_duplicates("doc_id").set_index("doc_id")["n_tok"]
-            exp = s["doc_id"].map(mi)
-            orphan = exp.isna()
-            orphans = s[orphan]
-            if len(orphans):
-                out.append(
-                    mk(
-                        orphans,
-                        S.E_ORPHAN,
-                        "doc_id",
-                        [
-                            S.format_message(S.E_ORPHAN, f"doc_id {d!r} not in manifest")
-                            for d in orphans["doc_id"]
-                        ],
-                    )
-                )
-            mism = (~orphan) & (exp.to_numpy(dtype="float64", na_value=np.nan) != s["n_tok"].to_numpy())
-            bad = s[mism]
-            if len(bad):
-                expv = exp[mism].astype("int64")
-                out.append(
-                    mk(
-                        bad,
-                        S.E_MANIFEST_NTOK,
-                        "n_tok",
-                        [
-                            S.format_message(
-                                S.E_MANIFEST_NTOK,
-                                f"n_tok {int(a)} != manifest expected {int(e)}",
-                            )
-                            for a, e in zip(bad["n_tok"], expv)
-                        ],
-                    )
-                )
-    if len(m):
-        seen = set(s["doc_id"]) if len(s) else set()
-        empty = m[~m["doc_id"].isin(seen)].drop_duplicates("doc_id")
-        if len(empty):
-            out.append(
-                mk(
-                    empty,
-                    S.E_EMPTY_DOC,
-                    "doc_id",
-                    [
-                        S.format_message(
-                            S.E_EMPTY_DOC, f"manifest doc_id {d!r} has no sequence rows"
-                        )
-                        for d in empty["doc_id"]
-                    ],
-                )
-            )
-    if not out:
-        return S.VIOLATIONS_SCHEMA.empty_table()
-    return pa.Table.from_pandas(
-        pd.concat(out, ignore_index=True), schema=S.VIOLATIONS_SCHEMA, preserve_index=False
+    return tag
+
+
+def _tag_manifest_factory(num_buckets: int):
+    def tag(batch: pa.Table) -> pa.Table:
+        h = hash_strings(batch["doc_id"].combine_chunks().to_pylist())
+        return pa.table(
+            {
+                "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+                "h": pa.array(h),
+                "loc": pa.array(np.full(batch.num_rows, MANIFEST_LOC)),
+                "n_tok": pa.array(
+                    batch["expected_n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    return tag
+
+
+def _bucket_candidates(g: pa.Table) -> pa.Table:
+    """Pure-numpy run-length analysis of one bucket sorted by hash."""
+    h = g["h"].to_numpy(zero_copy_only=False)
+    loc = g["loc"].to_numpy(zero_copy_only=False)
+    ntok = g["n_tok"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((loc, h))  # by hash, manifest rows (loc=-1) first
+    h, loc, ntok = h[order], loc[order], ntok[order]
+    n = len(h)
+    if n == 0:
+        return CANDIDATE_SCHEMA.empty_table()
+    new_run = np.r_[True, h[1:] != h[:-1]]
+    run_id = np.cumsum(new_run) - 1
+    n_runs = run_id[-1] + 1
+    is_m = loc == MANIFEST_LOC
+    is_s = ~is_m
+    m_per_run = np.bincount(run_id[is_m], minlength=n_runs)
+    s_per_run = np.bincount(run_id[is_s], minlength=n_runs)
+    out_h, out_loc, out_ntok, out_exp, out_cand = [], [], [], [], []
+
+    # E80: duplicate seq rows — all but the first seq row of a run (order by
+    # loc within run → first = smallest (part, row_index))
+    s_idx = np.flatnonzero(is_s)
+    if len(s_idx):
+        first_s_of_run = np.r_[True, run_id[s_idx][1:] != run_id[s_idx][:-1]]
+        dup_idx = s_idx[~first_s_of_run]
+        if len(dup_idx):
+            out_h.append(h[dup_idx]); out_loc.append(loc[dup_idx])
+            out_ntok.append(ntok[dup_idx])
+            out_exp.append(np.full(len(dup_idx), -1, dtype=np.int64))
+            out_cand.append(np.full(len(dup_idx), _C_DUP, dtype=np.int8))
+    has_manifest = bool(is_m.any())
+    if has_manifest:
+        # expected n_tok of each run = n_tok of its first row when that row
+        # is a manifest row (manifest rows sort first within a run)
+        run_first = np.flatnonzero(new_run)
+        run_has_m = m_per_run > 0
+        run_exp = np.where(run_has_m, ntok[run_first], -1)
+        # E71: seq rows in runs with no manifest row
+        orphan_idx = s_idx[~run_has_m[run_id[s_idx]]]
+        if len(orphan_idx):
+            out_h.append(h[orphan_idx]); out_loc.append(loc[orphan_idx])
+            out_ntok.append(ntok[orphan_idx])
+            out_exp.append(np.full(len(orphan_idx), -1, dtype=np.int64))
+            out_cand.append(np.full(len(orphan_idx), _C_ORPHAN, dtype=np.int8))
+        # E72: seq rows whose n_tok != the run's manifest expectation
+        exp_of_s = run_exp[run_id[s_idx]]
+        bad = (exp_of_s >= 0) & (ntok[s_idx] != exp_of_s)
+        bad_idx = s_idx[bad]
+        if len(bad_idx):
+            out_h.append(h[bad_idx]); out_loc.append(loc[bad_idx])
+            out_ntok.append(ntok[bad_idx]); out_exp.append(exp_of_s[bad])
+            out_cand.append(np.full(len(bad_idx), _C_NTOK, dtype=np.int8))
+        # E701: manifest-only runs (one candidate per run)
+        empty_runs = np.flatnonzero(run_has_m & (s_per_run == 0))
+        if len(empty_runs):
+            fi = run_first[empty_runs]
+            out_h.append(h[fi]); out_loc.append(loc[fi])
+            out_ntok.append(np.full(len(fi), -1, dtype=np.int64))
+            out_exp.append(ntok[fi])
+            out_cand.append(np.full(len(fi), _C_EMPTY, dtype=np.int8))
+    if not out_h:
+        return CANDIDATE_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "h": pa.array(np.concatenate(out_h)),
+            "loc": pa.array(np.concatenate(out_loc)),
+            "n_tok": pa.array(np.concatenate(out_ntok)),
+            "exp_n_tok": pa.array(np.concatenate(out_exp)),
+            "cand": pa.array(np.concatenate(out_cand)),
+        },
+        schema=CANDIDATE_SCHEMA,
     )
+
+
+def _recover_violations(
+    cands: pa.Table,
+    files: list[str],
+    manifest_path: str | None,
+    batch_rows: int,
+) -> pa.Table:
+    """Materialize exact violation rows for the (rare) candidates: targeted
+    re-read of doc_id for affected (part, row_index) positions + exact
+    string verification within dup groups (kills hash-collision FPs)."""
+    if cands.num_rows == 0:
+        return S.VIOLATIONS_SCHEMA.empty_table()
+    loc = cands["loc"].to_numpy(zero_copy_only=False)
+    cand = cands["cand"].to_numpy(zero_copy_only=False)
+    h = cands["h"].to_numpy(zero_copy_only=False)
+    ntok = cands["n_tok"].to_numpy(zero_copy_only=False)
+    exp = cands["exp_n_tok"].to_numpy(zero_copy_only=False)
+    seq_mask = loc != MANIFEST_LOC
+    pidx = (loc[seq_mask] >> ROW_BITS).astype(np.int64)
+    ridx = (loc[seq_mask] & ((np.int64(1) << ROW_BITS) - 1)).astype(np.int64)
+    doc_ids = np.empty(len(loc), dtype=object)
+    parts = np.empty(len(loc), dtype=object)
+    rows_out = np.where(seq_mask, 0, -1).astype(np.int64)
+    seq_pos = np.flatnonzero(seq_mask)
+    rows_out[seq_pos] = ridx
+    for p in np.unique(pidx):
+        sel = seq_pos[pidx == p]
+        rr = ridx[pidx == p]
+        col = pq.read_table(files[int(p)], columns=["doc_id"])["doc_id"]
+        vals = col.take(pa.array(rr)).to_pylist()
+        doc_ids[sel] = vals
+        parts[sel] = part_of(files[int(p)])
+    man_pos = np.flatnonzero(~seq_mask)
+    if len(man_pos):
+        assert manifest_path is not None
+        mt = pq.read_table(manifest_path, columns=["doc_id"])
+        mh = hash_strings(mt["doc_id"].to_pylist())
+        want = h[man_pos]
+        order = np.argsort(mh, kind="stable")
+        pos = np.searchsorted(mh[order], want)
+        pos = np.clip(pos, 0, len(order) - 1)
+        hit = mh[order][pos] == want
+        ids = mt["doc_id"].to_pylist()
+        doc_ids[man_pos] = [ids[order[p]] if ok else None for p, ok in zip(pos, hit)]
+        parts[man_pos] = MANIFEST_PART
+
+    rows = {k: [] for k in ("part", "row_index", "doc_id", "code", "column", "message")}
+    for i in range(len(loc)):
+        code = _CODE_OF[int(cand[i])]
+        d = doc_ids[i]
+        if d is None:
+            continue
+        if code == S.E_DUP_DOCID:
+            detail = f"duplicate doc_id {d!r}"
+            column = "doc_id"
+        elif code == S.E_ORPHAN:
+            detail = f"doc_id {d!r} not in manifest"
+            column = "doc_id"
+        elif code == S.E_MANIFEST_NTOK:
+            detail = f"n_tok {int(ntok[i])} != manifest expected {int(exp[i])}"
+            column = "n_tok"
+        else:  # E701
+            detail = f"manifest doc_id {d!r} has no sequence rows"
+            column = "doc_id"
+        rows["part"].append(parts[i])
+        rows["row_index"].append(int(rows_out[i]))
+        rows["doc_id"].append(d)
+        rows["code"].append(code)
+        rows["column"].append(column)
+        rows["message"].append(S.format_message(code, detail))
+    return pa.Table.from_pydict(rows, schema=S.VIOLATIONS_SCHEMA)
+
+
+def _split_by_bucket(t: pa.Table, num_buckets: int) -> list[pa.Table]:
+    b = t["bucket"].to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    bs = b[order]
+    bounds = np.searchsorted(bs, np.arange(num_buckets + 1))
+    sorted_t = t.take(pa.array(order)).drop_columns(["bucket"])
+    return [sorted_t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(num_buckets)]
+
+
+@ray.remote
+def _map_seq_shard(path: str, part_idx: int, num_buckets: int, batch_rows: int):
+    """Map side of the exchange: read one partition file's scalar columns,
+    hash/tag, split by bucket → num_buckets separate returns (reducers
+    fetch only their shard from the object store)."""
+    tag = _tag_seq_factory({part_of(path): part_idx}, num_buckets)
+    pf = pq.ParquetFile(path)
+    row_off = 0
+    outs: list[list[pa.Table]] = [[] for _ in range(num_buckets)]
+    for rb in pf.iter_batches(batch_size=batch_rows, columns=["doc_id", "n_tok"], use_threads=False):
+        t = pa.Table.from_batches([rb])
+        n = t.num_rows
+        batch = pa.table(
+            {
+                "part": pa.array([part_of(path)] * n, type=pa.string()),
+                "row_index": pa.array(range(row_off, row_off + n), type=pa.int64()),
+                "doc_id": t["doc_id"],
+                "n_tok": t["n_tok"],
+            }
+        )
+        row_off += n
+        for i, s in enumerate(_split_by_bucket(tag(batch), num_buckets)):
+            if s.num_rows:
+                outs[i].append(s)
+    empty = pa.table(
+        {
+            "h": pa.array([], type=pa.uint64()),
+            "loc": pa.array([], type=pa.int64()),
+            "n_tok": pa.array([], type=pa.int64()),
+        }
+    )
+    return tuple(pa.concat_tables(o) if o else empty for o in outs)
+
+
+@ray.remote
+def _map_manifest_shard(path: str, row_groups: list[int], num_buckets: int):
+    tag = _tag_manifest_factory(num_buckets)
+    pf = pq.ParquetFile(path)
+    t = pf.read_row_groups(row_groups, columns=["doc_id", "expected_n_tok"], use_threads=False)
+    outs = _split_by_bucket(tag(t), num_buckets)
+    return tuple(outs)
+
+
+@ray.remote
+def _reduce_bucket(*shards: pa.Table) -> pa.Table:
+    t = pa.concat_tables([s for s in shards if s.num_rows])
+    if t.num_rows == 0:
+        return CANDIDATE_SCHEMA.empty_table()
+    return _bucket_candidates(t)
 
 
 def key_checks(
-    seq_scalars: "ray.data.Dataset",
-    manifest: "ray.data.Dataset | None",
-    num_buckets: int = 256,
-) -> "ray.data.Dataset":
-    """All four key checks in ONE hash-bucketed shuffle.
+    files: list[str],
+    manifest_path: str | None,
+    *,
+    num_buckets: int = 64,
+    batch_rows: int = 8192,
+    max_candidates: int = 1_000_000,
+) -> pa.Table:
+    """All four key checks in ONE slim hash exchange + targeted recovery.
 
-    ``seq_scalars``: dataset with (part,row_index,doc_id,n_tok) — read with
-    column pruning, the tokens payload never moves through this shuffle.
-    Returns a VIOLATIONS_SCHEMA dataset.
-    """
-    tagged = seq_scalars.map_batches(
-        lambda b: _tagged_seq(b, num_buckets), batch_format="pyarrow"
-    )
-    if manifest is not None:
-        tagged = tagged.union(
-            manifest.map_batches(
-                lambda b: _tagged_manifest(b, num_buckets), batch_format="pyarrow"
-            )
+    The exchange is a direct map/reduce over raw Ray tasks (the R8
+    dispatcher-shuffle): map tasks split each partition's tagged rows into
+    ``num_buckets`` object-store shards (``num_returns``), one reduce task
+    per bucket concatenates its shards and runs the vectorized candidate
+    scan. Chosen over ``Dataset.groupby`` deliberately: the sort-based
+    shuffle's per-block constant costs dominate at skinny-row sizes, while
+    this exchange moves each byte exactly once. Returns the materialized
+    violations table (small, capped)."""
+    maps = [
+        _map_seq_shard.options(num_returns=num_buckets).remote(
+            path, i, num_buckets, batch_rows
         )
-    return tagged.groupby("bucket").map_groups(
-        _bucket_violations, batch_format="pyarrow"
-    )
+        for i, path in enumerate(files)
+    ]
+    if manifest_path is not None:
+        pf = pq.ParquetFile(manifest_path)
+        n_rg = pf.metadata.num_row_groups
+        chunk = max(1, n_rg // max(len(files), 1))
+        for s in range(0, n_rg, chunk):
+            maps.append(
+                _map_manifest_shard.options(num_returns=num_buckets).remote(
+                    manifest_path, list(range(s, min(s + chunk, n_rg))), num_buckets
+                )
+            )
+    # normalize: num_returns=1 yields a bare ref, else a list of refs
+    shard_lists = [m if isinstance(m, list) else [m] for m in maps]
+    cand_refs = [
+        _reduce_bucket.remote(*[sl[b] for sl in shard_lists])
+        for b in range(num_buckets)
+    ]
+    cands = pa.concat_tables([t for t in ray.get(cand_refs)])
+    if cands.num_rows > max_candidates:
+        cands = cands.slice(0, max_candidates)
+    return _recover_violations(cands, files, manifest_path, batch_rows)

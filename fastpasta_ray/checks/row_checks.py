@@ -98,9 +98,11 @@ def run_row_checks(
     # --- E70: token out of vocab range — analog invalid data-word ID [E70]
     flat_tokens = tokens.flatten()  # drops nulls; offsets below account for that
     vals = flat_tokens.to_numpy(zero_copy_only=False)
-    if len(vals):
+    # cheap global min/max gate first: the expensive per-token mask (and its
+    # len(vals)-sized temp) only runs when a violation actually exists
+    if len(vals) and (int(vals.min()) < 0 or int(vals.max()) >= vocab):
         bad = (vals < 0) | (vals >= vocab)
-        if bad.any():
+        if True:
             # map flat positions back to rows via valid-row lengths
             lens_np = lens.to_numpy(zero_copy_only=False)
             valid_lens = np.where(np.isnan(lens_np), 0, lens_np).astype(np.int64) if lens_np.dtype.kind == "f" else np.where(pc.is_null(lens).to_numpy(zero_copy_only=False), 0, lens_np).astype(np.int64)

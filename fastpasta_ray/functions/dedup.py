@@ -104,23 +104,51 @@ def drop_exact_dups(
 # shingling + MinHash
 # ---------------------------------------------------------------------------
 
+def _shingle_hashes_flat(texts: list[str], k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """All docs' k-char-shingle hashes as one flat array + doc offsets.
+
+    Fully vectorized across the whole batch: one byte buffer, one sliding
+    window, one polynomial pass — no per-doc numpy calls. Shingles are NOT
+    deduped per doc (a weighted-Jaccard approximation); dedup per doc would
+    cost a per-doc unique() loop for marginal accuracy."""
+    enc = [t.encode("utf-8") for t in texts]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    # global sliding window, then drop windows that straddle doc boundaries
+    if len(buf) < k:
+        return np.zeros(len(texts), dtype=np.uint64), np.arange(len(texts) + 1, dtype=np.int64) * 0
+    win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(np.uint64)
+    poly = np.zeros(len(win), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            poly = poly * np.uint64(1099511628211) + win[:, i]
+    h = splitmix64(poly)
+    starts = np.zeros(len(enc), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    n_sh = np.maximum(lens - k + 1, 1)  # short docs get 1 (possibly straddling) shingle
+    n_sh = np.minimum(n_sh, np.maximum(len(h) - starts, 1))
+    keep_idx = np.repeat(starts, n_sh) + _ranges(n_sh)
+    keep_idx = np.minimum(keep_idx, len(h) - 1)
+    flat = h[keep_idx]
+    offsets = np.zeros(len(enc) + 1, dtype=np.int64)
+    np.cumsum(n_sh, out=offsets[1:])
+    return flat, offsets
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized arange-per-group)."""
+    total = int(counts.sum())
+    out = np.ones(total, dtype=np.int64)
+    ends = np.cumsum(counts)
+    out[0] = 0
+    out[ends[:-1]] = 1 - counts[:-1]
+    return np.cumsum(out)
+
+
 def _shingle_hashes(texts: list[str], k: int = 5) -> list[np.ndarray]:
-    """Per-doc arrays of k-char-shingle hashes. Vectorized per doc via
-    stride tricks on the byte array (no Python loop over shingles)."""
-    out = []
-    for t in texts:
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        if len(b) < k:
-            out.append(np.array([0], dtype=np.uint64))
-            continue
-        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-        # polynomial roll then splitmix — deterministic
-        poly = np.zeros(len(win), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for i in range(k):
-                poly = poly * np.uint64(1099511628211) + win[:, i]
-        out.append(np.unique(splitmix64(poly)))
-    return out
+    """Per-doc unique shingle-hash arrays (exact-Jaccard verification path)."""
+    flat, offsets = _shingle_hashes_flat(texts, k)
+    return [np.unique(flat[offsets[i] : offsets[i + 1]]) for i in range(len(texts))]
 
 
 class MinHasher:
@@ -142,10 +170,20 @@ class MinHasher:
         return m.min(axis=0)
 
     def __call__(self, batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+        """Whole-batch vectorized: one flat shingle array for all docs, the
+        (shingles × perms) product chunked over perms, per-doc minima via
+        np.minimum.reduceat — no per-doc numpy calls."""
         texts = batch[text_col].to_pylist()
-        sigs = np.stack(
-            [self.signature(sh) for sh in _shingle_hashes(texts, self.k)]
-        )
+        flat, offsets = _shingle_hashes_flat(texts, self.k)
+        n = len(texts)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        starts = offsets[:-1]
+        chunk = max(1, (8 << 20) // max(len(flat), 1))  # ~64MB temp cap
+        with np.errstate(over="ignore"):
+            for c0 in range(0, self.num_perm, chunk):
+                c1 = min(c0 + chunk, self.num_perm)
+                m = flat[:, None] * self.a[None, c0:c1] + self.b[None, c0:c1]
+                sigs[:, c0:c1] = np.minimum.reduceat(m, starts, axis=0)
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -243,7 +281,7 @@ def minhash_lsh_pairs(
         )
 
     pairs = (
-        ds.map_batches(MinHasher(num_perm, shingle_k), batch_format="pyarrow")
+        ds.map_batches(MinHasher(num_perm, shingle_k), batch_format="pyarrow", batch_size=2048)
         .map_batches(band_keys, batch_format="pyarrow")
         .groupby("band_hash")
         .map_groups(bucket_pairs, batch_format="pyarrow")

@@ -38,7 +38,7 @@ from fastpasta_ray.checks.drift import (
 )
 from fastpasta_ray.checks.key_checks import key_checks
 from fastpasta_ray.sketches import PartStats
-from fastpasta_ray.sources.parquet import file_dataset, read_sequences, sequence_files
+from fastpasta_ray.sources.parquet import file_dataset, sequence_files
 from fastpasta_ray.stages.validate import CheckConfig, ValidateFiles
 
 
@@ -105,7 +105,23 @@ def run_check(
         store = None
         files_todo = files
 
-    # ---- pass 1: per-file streaming validation ---------------------------
+    # ---- pass 1 (payload) and pass 2 (scalar shuffle) run CONCURRENTLY:
+    # they read independent column sets and only meet at the final merge,
+    # so overlapping them hides each execution's fixed planning/driver cost
+    # and keeps the cluster busy when either pass alone would underuse it.
+    kv_result: dict = {}
+    kv_thread = None
+    if with_key_checks and files:
+        import threading
+
+        def _run_kv():
+            kv_result["t"] = key_checks(
+                files, manifest_path, num_buckets=num_buckets, batch_rows=cfg.batch_rows
+            )
+
+        kv_thread = threading.Thread(target=_run_kv, daemon=True)
+        kv_thread.start()
+
     if files_todo:
         out = file_dataset(files_todo).map_batches(
             ValidateFiles(cfg),
@@ -128,17 +144,12 @@ def run_check(
         # (cross-partition) and recomputed on every run
         store.commit(files_todo, violations, stats_by_part, committed)
 
-    # ---- pass 2: key checks over pruned scalar columns -------------------
-    if with_key_checks:
-        seq_scalars = read_sequences(
-            files, columns=["doc_id", "n_tok"], batch_rows=cfg.batch_rows
-        )
-        manifest = (
-            ray.data.read_parquet(manifest_path) if manifest_path else None
-        )
-        kv = key_checks(seq_scalars, manifest, num_buckets=num_buckets)
-        kv_t = collect_table(kv, S.VIOLATIONS_SCHEMA)
-        if kv_t.num_rows:
+    # ---- join pass 2 (slim int-only shuffle + targeted doc_id recovery,
+    # see checks/key_checks.py) and merge its violations
+    if kv_thread is not None:
+        kv_thread.join()
+        kv_t = kv_result.get("t")
+        if kv_t is not None and kv_t.num_rows:
             violations = pa.concat_tables([violations, kv_t])
 
     # ---- drift gate vs reference profile ---------------------------------

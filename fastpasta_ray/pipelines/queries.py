@@ -26,9 +26,14 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from fastpasta_ray.functions import text as ftext
 
 
-def _rp(sf_dir: str, table: str, columns=None):
+def _rp(sf_dir: str, table: str, columns=None, blocks: int | None = None):
+    """Column-pruned read. ``blocks`` forces block parallelism for
+    compute-heavy downstream stages — a single parquet file otherwise
+    becomes ONE block and serializes the stage."""
     return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+        os.path.join(sf_dir, f"{table}.parquet"),
+        columns=columns,
+        **({"override_num_blocks": blocks} if blocks else {}),
     )
 
 
@@ -392,7 +397,7 @@ def q_similarity_top10(sf_dir: str):
 def q_minhash_pairs(sf_dir: str):
     from fastpasta_ray.functions.dedup import minhash_lsh_pairs
 
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=16)
     t = _to_table(minhash_lsh_pairs(ds, threshold=0.5))
     if t is None:
         return pa.table(
@@ -408,7 +413,7 @@ def q_minhash_pairs(sf_dir: str):
 def q_simhash_pairs(sf_dir: str):
     from fastpasta_ray.functions.dedup import simhash_near_dups
 
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=16)
     t = _to_table(simhash_near_dups(ds))
     if t is None:
         return pa.table(
@@ -422,7 +427,7 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
-    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"], blocks=8)
     out = ds.map_batches(
         ftext.LangID(), batch_format="pyarrow", concurrency=2
     ).map_batches(

@@ -48,7 +48,9 @@ def iter_file_batches(
     part = part_of(path)
     pf = pq.ParquetFile(path)
     row_off = 0
-    for rb in pf.iter_batches(batch_size=batch_rows, columns=columns):
+    # use_threads=False: each Ray task owns ONE core; Arrow's internal pool
+    # would oversubscribe CPUs across concurrent tasks and tank throughput
+    for rb in pf.iter_batches(batch_size=batch_rows, columns=columns, use_threads=False):
         t = pa.Table.from_batches([rb])
         n = t.num_rows
         pos = pa.table(

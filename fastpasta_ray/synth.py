@@ -242,9 +242,11 @@ def write_fixture(
         pq.write_table(t, path, row_group_size=row_group_size)
         info["parts"].append(path)
     if manifest:
+        # small row groups → the manifest can be read in parallel slices
         pq.write_table(
             pa.concat_tables(manifest_tables),
             os.path.join(out_dir, "_manifest.parquet"),
+            row_group_size=row_group_size,
         )
     return info
 
