@@ -1,0 +1,171 @@
+"""CLI — the fastPASTA command-surface analog on Ray Data.
+
+    fastpasta check sanity        → fastpasta-ray check <dir> --sanity-only
+    fastpasta check all           → fastpasta-ray check <dir>
+    fastpasta check all its-stave → fastpasta-ray check <dir> --manifest M
+    fastpasta view rdh            → fastpasta-ray view <dir>
+    fastpasta --filter-link N -o  → fastpasta-ray filter <dir> -o OUT --sources s1,s2
+    --output-stats / --input-stats-file → --output-stats / --input-stats
+    --show-only-errors-with-codes → --codes E10,E70
+    --max-tolerate-errors         → --max-errors (per partition; documented
+                                    divergence from the reference's global cap)
+
+Exit code 1 when any violation was found (init.rs:54 analog).
+
+Owns its Ray session (guarded init — never clashes with a driver that
+already initialised Ray).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_check(args) -> int:
+    from fastpasta_ray.sources.parquet import sequence_files
+
+    if not os.path.isdir(args.input_dir) or not sequence_files(args.input_dir):
+        print(f"error: no partition parquet files found in {args.input_dir!r}", file=sys.stderr)
+        return 2
+    _ray_session()
+    from fastpasta_ray.pipelines.check import (
+        error_display_lines,
+        run_check,
+        write_stats,
+    )
+    from fastpasta_ray.stages.validate import CheckConfig
+
+    profile = None
+    if args.input_stats:
+        with open(args.input_stats) as f:
+            profile = json.load(f)
+    cfg = CheckConfig(
+        running_checks=not args.sanity_only,
+        enabled_codes=tuple(args.codes.split(",")) if args.codes else None,
+        max_errors_per_part=args.max_errors,
+        expected_row_count=args.expect_rows,
+    )
+    res = run_check(
+        args.input_dir,
+        cfg=cfg,
+        manifest_path=args.manifest,
+        reference_profile=profile,
+        with_key_checks=not args.sanity_only,
+        out_dir=args.checkpoint_dir,
+        resume=args.resume,
+    )
+    for line in error_display_lines(res.violations, limit=args.print_errors):
+        print(line)
+    rep = res.report
+    print(f"Total rows        {rep['total_rows']}")
+    print(f"Total tokens      {rep['total_tokens']}")
+    print(f"Partitions        {rep['total_parts']}")
+    print(f"Unique doc_ids ≈  {rep['doc_id_unique_estimate']}")
+    print(f"Violations        {rep['violations_total']}  {rep['violations_by_code']}")
+    if res.drift_metrics:
+        print(f"Drift             {json.dumps(res.drift_metrics)}")
+    for m in rep["custom_check_messages"]:
+        print(m)
+    if args.output_stats:
+        write_stats(rep, args.output_stats)
+        print(f"stats written to {args.output_stats}")
+    return 1 if rep["any_errors"] else 0
+
+
+def cmd_view(args) -> int:
+    _ray_session()
+    from fastpasta_ray.pipelines.view import view_doc_frames, view_sequences
+
+    lines = (
+        view_doc_frames(args.input_dir, args.limit)
+        if args.frames
+        else view_sequences(args.input_dir, args.limit)
+    )
+    print("\n".join(lines))
+    return 0
+
+
+def cmd_filter(args) -> int:
+    _ray_session()
+    from fastpasta_ray.pipelines.filter import filter_sequences
+
+    rep = filter_sequences(
+        args.input_dir,
+        args.output,
+        sources=tuple(args.sources.split(",")) if args.sources else None,
+        min_n_tok=args.min_n_tok,
+        max_n_tok=args.max_n_tok,
+    )
+    print(json.dumps(rep))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    print(json.dumps(bench.run_bench(args.sf_dir, args.num_cpus)))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="fastpasta-ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("check", help="validate a sequences fixture dir")
+    c.add_argument("input_dir")
+    c.add_argument("--manifest", default=None)
+    c.add_argument("--sanity-only", action="store_true", help="stateless checks only (check sanity analog)")
+    c.add_argument("--codes", default=None, help="comma-separated error-code filter")
+    c.add_argument("--max-errors", type=int, default=10_000, help="per-partition violation cap")
+    c.add_argument("--expect-rows", type=int, default=None, help="expected row count (custom check E9001)")
+    c.add_argument("--input-stats", default=None, help="reference profile JSON to compare against")
+    c.add_argument("--output-stats", default=None, help="write stats snapshot JSON here")
+    c.add_argument("--print-errors", type=int, default=50)
+    c.add_argument("--checkpoint-dir", default=None)
+    c.add_argument("--resume", action="store_true")
+    c.set_defaults(fn=cmd_check)
+
+    v = sub.add_parser("view", help="formatted sample rows")
+    v.add_argument("input_dir")
+    v.add_argument("--limit", type=int, default=20)
+    v.add_argument("--frames", action="store_true", help="doc-frame view")
+    v.set_defaults(fn=cmd_view)
+
+    f = sub.add_parser("filter", help="filter + rewrite partitions")
+    f.add_argument("input_dir")
+    f.add_argument("-o", "--output", required=True)
+    f.add_argument("--sources", default=None)
+    f.add_argument("--min-n-tok", type=int, default=None)
+    f.add_argument("--max-n-tok", type=int, default=None)
+    f.set_defaults(fn=cmd_filter)
+
+    b = sub.add_parser("bench", help="run the benchmark")
+    b.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    b.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

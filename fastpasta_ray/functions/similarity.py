@@ -118,6 +118,75 @@ def build_ivf_centroids(
     return cent
 
 
+class HyperplaneHasher:
+    """Actor-pool stage: random-hyperplane signatures (embedding SimHash).
+    Hyperplanes drawn once per actor from a fixed seed."""
+
+    def __init__(self, n_bits: int = 16, dim: int = 64, seed: int = 42,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_bits))
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, self.emb_col))
+        bits = (m @ self.planes) > 0
+        sig = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "sig": pa.array(sig),
+                self.emb_col: batch[self.emb_col],
+            }
+        )
+
+
+def embedding_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    threshold: float = 0.99,
+    n_bits: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate pairs: random-hyperplane bucket
+    (near-identical vectors share all hyperplane signs w.h.p.) → exact
+    cosine verify within buckets. One shuffle over (id, sig, embedding)."""
+
+    def verify(g: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(g, emb_col))
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) < 2 or len(ids) > 2000:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], type=pa.int64()),
+                    "vec_b": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        hit = sims[iu] >= threshold
+        a, b = ids[iu[0][hit]], ids[iu[1][hit]]
+        return pa.table(
+            {
+                "vec_a": pa.array(np.minimum(a, b)),
+                "vec_b": pa.array(np.maximum(a, b)),
+                "cosine": pa.array(np.round(sims[iu][hit], 4)),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            HyperplaneHasher(n_bits, dim, id_col=id_col, emb_col=emb_col),
+            batch_format="pyarrow",
+        )
+        .groupby("sig")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+
+
 def ivf_topk(
     ds: "ray.data.Dataset",
     query: np.ndarray,

@@ -1,0 +1,74 @@
+"""Windowed / session operators over event streams.
+
+- Tumbling windows: timestamp truncation + groupby (see q_hourly_events).
+- Session windows (gap-based): the AlpideReadoutFrame analog — a frame
+  opens at TDH(continuation=0) and closes at TDT(packet_done=1)
+  (readout_frame.rs:20-198); here a session opens at the first event of a
+  key and closes when the gap to the next event exceeds ``gap``.
+
+Scale plan: bucket by hash(user) → groupby(bucket) → vectorized
+gaps-and-islands inside each bucket (sort + diff + cumsum), never a
+per-session Python loop. One shuffle; skew-immune (hash bucketing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def sessionize(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Session summary rows: (key, session_id, session_start, session_end,
+    n_events). Vectorized gaps-and-islands per hash bucket."""
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array((k.astype(np.int64) % num_buckets).astype(np.int64))
+        )
+
+    def sessions(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values([key_col, ts_col], kind="mergesort")
+        ts = df[ts_col]
+        new_key = df[key_col].ne(df[key_col].shift(1))
+        gap = (ts - ts.shift(1)).dt.total_seconds() > gap_seconds
+        new_session = (new_key | gap).to_numpy()
+        sid = np.cumsum(new_session) - 1
+        out = (
+            pd.DataFrame(
+                {
+                    key_col: df[key_col].to_numpy(),
+                    "_sid": sid,
+                    ts_col: ts.to_numpy(),
+                }
+            )
+            .groupby("_sid", sort=True)
+            .agg(
+                **{
+                    key_col: (key_col, "first"),
+                    "session_start": (ts_col, "min"),
+                    "session_end": (ts_col, "max"),
+                    "n_events": (ts_col, "size"),
+                }
+            )
+            .reset_index(drop=True)
+        )
+        # session_id unique within key: rank of session per key
+        out["session_id"] = out.groupby(key_col).cumcount()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pyarrow")
+    )

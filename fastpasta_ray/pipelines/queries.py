@@ -571,3 +571,211 @@ QUERIES = {
     "lang_id": q_lang_id,
     "hll_distinct_users": q_hll_distinct_users,
 }
+
+
+# ---------------------------------------------------------------------------
+# O3: top-k via sort + limit
+# ---------------------------------------------------------------------------
+
+def q_top_orders(sf_dir: str):
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    t = _to_table(ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10))
+    return _round_col(t, "o_totalprice", 2)
+
+
+# ---------------------------------------------------------------------------
+# R7-analog: gap-based session windows (AlpideReadoutFrame sessionization)
+# ---------------------------------------------------------------------------
+
+def q_session_stats(sf_dir: str):
+    from ray.data.aggregate import Count as _Count
+
+    from fastpasta_ray.functions.windows import sessionize
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+    s = sessionize(ds, gap_seconds=1800.0)
+    t = _to_table(s)
+    import pyarrow.compute as _pc
+
+    n_sessions = t.num_rows
+    n_events = int(_pc.sum(t["n_events"]).as_py())
+    max_ev = int(_pc.max(t["n_events"]).as_py())
+    return pa.table(
+        {
+            "n_sessions": pa.array([n_sessions], type=pa.int64()),
+            "n_events": pa.array([n_events], type=pa.int64()),
+            "max_session_events": pa.array([max_ev], type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact grouped quantiles via the mergeable IntHistogram sketch (t-digest
+# replacement for bounded int domains; matches quantile_disc convention)
+# ---------------------------------------------------------------------------
+
+def q_nchars_quantiles(sf_dir: str):
+    from fastpasta_ray.sketches import IntHistogram
+
+    ds = _rp(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import json as _json
+
+        src = np.asarray(b["source"].to_pylist(), dtype=object)
+        nch = b["n_chars"].to_numpy(zero_copy_only=False)
+        rows = {"source": [], "hist": []}
+        for s in np.unique(src):
+            h = IntHistogram()
+            h.add(nch[src == s])
+            rows["source"].append(str(s))
+            rows["hist"].append(_json.dumps(h.to_json()))
+        return pa.table({"source": pa.array(rows["source"]), "hist": pa.array(rows["hist"])})
+
+    import json as _json
+
+    parts = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    merged: dict[str, IntHistogram] = {}
+    for s, hj in zip(parts["source"].to_pylist(), parts["hist"].to_pylist()):
+        h = IntHistogram.from_json(_json.loads(hj))
+        merged[s] = merged[s].merge(h) if s in merged else h
+    rows = {"source": [], "p25": [], "p50": [], "p75": [], "p99": []}
+    for s in sorted(merged):
+        rows["source"].append(s)
+        for q, k in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.99, "p99")):
+            rows[k].append(merged[s].quantile(q))
+    return pa.table(
+        {
+            "source": pa.array(rows["source"]),
+            "p25": pa.array(rows["p25"], type=pa.int64()),
+            "p50": pa.array(rows["p50"], type=pa.int64()),
+            "p75": pa.array(rows["p75"], type=pa.int64()),
+            "p99": pa.array(rows["p99"], type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# word top-k: per-batch partial counts -> groupby sum -> driver top-k
+# (explode+shuffle with pre-aggregation — the combiner pattern)
+# ---------------------------------------------------------------------------
+
+def q_word_topk(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["text"], blocks=8)
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        w, c = np.unique(np.asarray(flat.to_pylist(), dtype=object), return_counts=True)
+        return pa.table({"word": pa.array(w.astype(str)), "cnt": pa.array(c.astype(np.int64))})
+
+    agg = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+    df = _to_table(agg).to_pandas()
+    df = df.sort_values(["n", "word"], ascending=[False, True], kind="mergesort").head(20)
+    return pa.table({"word": pa.array(df["word"]), "n": pa.array(df["n"].astype("int64"))})
+
+
+# ---------------------------------------------------------------------------
+# embeddings: IVF search + near-dup pairs + per-label stats (rows-only)
+# ---------------------------------------------------------------------------
+
+def q_ivf_similarity(sf_dir: str):
+    from fastpasta_ray.functions.similarity import ivf_topk
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _to_table(emb.filter(lambda r: r["vec_id"] == 0))["embedding"].to_pylist()[0]
+    rest = emb.filter(lambda r: r["vec_id"] != 0)
+    return ivf_topk(rest, np.asarray(q), k=10).select(["vec_id", "cosine"])
+
+
+def q_embedding_neardups(sf_dir: str):
+    from fastpasta_ray.functions.similarity import embedding_near_dup_pairs
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=8)
+    t = _to_table(embedding_near_dup_pairs(emb, threshold=0.95))
+    if t is None:
+        return pa.table(
+            {
+                "vec_a": pa.array([], type=pa.int64()),
+                "vec_b": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+    return t
+
+
+def q_label_stats(sf_dir: str):
+    from ray.data.aggregate import Count as _Count
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "label"])
+    return emb.groupby("label").aggregate(
+        _Count(alias_name="n_vecs"), Min("vec_id", alias_name="min_vec_id"),
+        Max("vec_id", alias_name="max_vec_id"),
+    )
+
+ORACLES.update(
+    {
+        "top_orders": """
+            SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "session_stats": """
+            WITH d AS (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 1800 SECOND
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM d
+            ), g AS (
+                SELECT user_id, sid, COUNT(*) AS c FROM s GROUP BY user_id, sid
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(c) AS BIGINT) AS n_events,
+                   CAST(MAX(c) AS BIGINT) AS max_session_events
+            FROM g
+        """,
+        "nchars_quantiles": """
+            SELECT source,
+                   CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+                   CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+                   CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75,
+                   CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+            FROM documents GROUP BY source
+        """,
+        "word_topk": """
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            ) GROUP BY word ORDER BY n DESC, word LIMIT 20
+        """,
+        "label_stats": """
+            SELECT label, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id,
+                   MAX(vec_id) AS max_vec_id
+            FROM embeddings GROUP BY label
+        """,
+    }
+)
+
+QUERIES.update(
+    {
+        "top_orders": q_top_orders,
+        "session_stats": q_session_stats,
+        "nchars_quantiles": q_nchars_quantiles,
+        "word_topk": q_word_topk,
+        "label_stats": q_label_stats,
+        # rows-only
+        "ivf_similarity": q_ivf_similarity,
+        "embedding_neardups": q_embedding_neardups,
+    }
+)

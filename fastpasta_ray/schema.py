@@ -69,6 +69,8 @@ MANIFEST_SCHEMA = pa.schema(
 E_NTOK_MISMATCH = "E10"      # n_tok != len(tokens)        ~ [E10] RDH sanity field
 E_DOCID_FORMAT = "E12"       # doc_id malformed            ~ [E12] RDH CRU sanity
 E_DOCID_NULL = "E13"         # doc_id null/empty
+E_SCHEMA = "E14"             # partition file schema deviates from the run schema
+                             # ~ set-once run attributes (rdh_stats.rs:41-73, G7)
 E_SOURCE_NULL = "E40"        # source null/empty           ~ [E40] TDH sanity
 E_SOURCE_DOMAIN = "E41"      # source not in domain        ~ [E41] TDH running
 E_TOKEN_RANGE = "E70"        # token id out of vocab range ~ [E70] invalid data-word ID
@@ -88,7 +90,7 @@ E_DRIFT_PSI = "E9440"        # PSI drift gate breached (per partition)
 E_DRIFT_KS = "E9441"         # KS drift gate breached (per partition)
 
 ALL_CODES = (
-    E_NTOK_MISMATCH, E_DOCID_FORMAT, E_DOCID_NULL, E_SOURCE_NULL,
+    E_NTOK_MISMATCH, E_DOCID_FORMAT, E_DOCID_NULL, E_SCHEMA, E_SOURCE_NULL,
     E_SOURCE_DOMAIN, E_TOKEN_RANGE, E_TOKENS_NULL, E_ORDER, E_DUP_DOCID,
     E_ORPHAN, E_MANIFEST_NTOK, E_EMPTY_DOC, E_CUSTOM_COUNT, E_PROFILE_FIELD,
     E_DRIFT_PSI, E_DRIFT_KS,

@@ -67,6 +67,23 @@ class ValidateFiles:
     def __init__(self, cfg: CheckConfig | None = None):
         self.cfg = cfg or CheckConfig()
 
+    @staticmethod
+    def _schema_violation(part: str, detail: str) -> pa.Table:
+        return pa.table(
+            {
+                "part": pa.array([part], type=pa.string()),
+                "row_index": pa.array([-1], type=pa.int64()),
+                "doc_id": pa.array([None], type=pa.string()),
+                "code": pa.array([S.E_SCHEMA], type=pa.string()),
+                "column": pa.array(["__schema__"], type=pa.string()),
+                "message": pa.array(
+                    [S.format_message(S.E_SCHEMA, f"schema mismatch: {detail}")],
+                    type=pa.string(),
+                ),
+            },
+            schema=S.VIOLATIONS_SCHEMA,
+        )
+
     def __call__(self, fd: pa.Table) -> Iterator[pa.Table]:
         for path in fd["path"].to_pylist():
             yield from self.validate_file(path)
@@ -77,6 +94,35 @@ class ValidateFiles:
         running = RunningState() if cfg.running_checks else None
         emitted = 0
         part = None
+        # --- E14: set-once schema check (G7 analog, rdh_stats.rs:41-73) —
+        # every partition file must carry the run schema; a deviating file
+        # fails as a partition (one violation) and is skipped, the run
+        # continues (per-partition fail, not global abort)
+        import pyarrow.parquet as _pq
+
+        from fastpasta_ray.schema import SEQUENCES_SCHEMA
+        from fastpasta_ray.sources.parquet import part_of as _part_of
+
+        try:
+            file_schema = _pq.read_schema(path)
+        except Exception as exc:  # unreadable file → schema violation too
+            yield self._schema_violation(_part_of(path), f"unreadable parquet file: {exc}")
+            return
+        want = {f.name: f.type for f in SEQUENCES_SCHEMA}
+        got = {n: file_schema.field(n).type for n in file_schema.names if n in want}
+        missing = [n for n in want if n not in file_schema.names]
+        wrong = [n for n, t in got.items() if t != want[n]]
+        if missing or wrong:
+            detail = []
+            if missing:
+                detail.append(f"missing columns {missing}")
+            if wrong:
+                detail.append(
+                    "wrong types "
+                    + str({n: f"{got[n]} != {want[n]}" for n in wrong})
+                )
+            yield self._schema_violation(_part_of(path), "; ".join(detail))
+            return
         for batch in iter_file_batches(path, None, cfg.batch_rows):
             part = batch["part"][0].as_py() if part is None else part
             # --- stats accumulation (vectorized, one pass) -----------------

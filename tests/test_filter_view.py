@@ -1,0 +1,94 @@
+"""Filter→write pipeline (S6 writer analog) + view formatters (M8) +
+schema set-once check (E14, G7 analog)."""
+
+import os
+
+import pyarrow.parquet as pq
+
+from fastpasta_ray.pipelines.check import run_check
+from fastpasta_ray.pipelines.filter import filter_expr_read, filter_sequences
+from fastpasta_ray.pipelines.view import view_doc_frames, view_sequences
+from fastpasta_ray.synth import SynthSpec, write_fixture
+
+
+def test_filter_by_source_roundtrip(tmp_path):
+    d = str(tmp_path / "fix")
+    out = str(tmp_path / "out")
+    write_fixture(d, SynthSpec(n_rows=500, n_parts=3), manifest=False)
+    rep = filter_sequences(d, out, sources=("web", "books"))
+    assert rep["rows_seen"] == 1500
+    assert rep["rows_kept"] < 1500 and rep["rows_kept"] > 0
+    # byte-exact content: re-read and verify only kept sources + same schema
+    total = 0
+    for f in sorted(os.listdir(out)):
+        t = pq.read_table(os.path.join(out, f))
+        assert set(t["source"].to_pylist()) <= {"web", "books"}
+        total += t.num_rows
+    assert total == rep["rows_kept"]
+    # the filtered output itself passes validation (writer writes valid data)
+    res = run_check(out, with_key_checks=False)
+    assert not res.any_errors
+
+
+def test_filter_ntok_range(tmp_path):
+    d = str(tmp_path / "fix")
+    out = str(tmp_path / "out")
+    write_fixture(d, SynthSpec(n_rows=300, n_parts=2), manifest=False)
+    rep = filter_sequences(d, out, min_n_tok=32, max_n_tok=128)
+    for f in sorted(os.listdir(out)):
+        t = pq.read_table(os.path.join(out, f))
+        nt = t["n_tok"].to_pylist()
+        assert all(32 <= v <= 128 for v in nt)
+    assert 0 < rep["rows_kept"] < 600
+
+
+def test_filter_pushdown_read(tmp_path):
+    d = str(tmp_path / "fix")
+    write_fixture(d, SynthSpec(n_rows=400, n_parts=2), manifest=False)
+    ds = filter_expr_read(d, sources=("web",))
+    t = ds.to_pandas()
+    assert set(t["source"]) == {"web"}
+
+
+def test_view_formats(tmp_path):
+    d = str(tmp_path / "fix")
+    write_fixture(d, SynthSpec(n_rows=50, n_parts=1), manifest=False)
+    lines = view_sequences(d, limit=5)
+    assert len(lines) == 6  # header + 5
+    assert "part-0000" in lines[1]
+    assert "DOC_ID" in lines[0]
+    frames = view_doc_frames(d, limit=3)
+    assert len(frames) == 4
+
+
+def test_schema_mismatch_e14(tmp_path):
+    import pyarrow as pa
+
+    d = str(tmp_path / "fix")
+    write_fixture(d, SynthSpec(n_rows=100, n_parts=2), manifest=False)
+    # corrupt one partition's schema: drop the n_tok column
+    p = os.path.join(d, "part-0001.parquet")
+    t = pq.read_table(p).drop_columns(["n_tok"])
+    pq.write_table(t, p)
+    res = run_check(d, with_key_checks=False)
+    v = res.violations
+    assert v.num_rows == 1
+    assert v["code"].to_pylist() == ["E14"]
+    assert v["part"].to_pylist() == ["part-0001"]
+    assert "missing columns ['n_tok']" in v["message"][0].as_py()
+    # the healthy partition still contributes stats
+    assert res.report["total_rows"] == 100
+
+
+def test_schema_wrong_type_e14(tmp_path):
+    import pyarrow as pa
+
+    d = str(tmp_path / "fix")
+    write_fixture(d, SynthSpec(n_rows=100, n_parts=1), manifest=False)
+    p = os.path.join(d, "part-0000.parquet")
+    t = pq.read_table(p)
+    t = t.set_column(2, "n_tok", t["n_tok"].cast(pa.int64()))
+    pq.write_table(t, p)
+    res = run_check(d, with_key_checks=False)
+    assert res.violations["code"].to_pylist() == ["E14"]
+    assert "wrong types" in res.violations["message"][0].as_py()

@@ -1,0 +1,180 @@
+"""Training-data function tests: dedup, similarity, text, multimodal
+plumbing, session windows."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+def docs_table(texts, ids=None):
+    n = len(texts)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids or list(range(n)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+
+
+def test_exact_dedup_drop(tmp_path):
+    from fastpasta_ray.functions.dedup import drop_exact_dups, exact_dup_groups
+
+    texts = ["hello world " * 5, "foo bar " * 5, "hello world " * 5, "unique text here"]
+    ds = ray.data.from_arrow(docs_table(texts))
+    groups = exact_dup_groups(ds).to_pandas()
+    assert len(groups) == 1
+    assert groups.iloc[0]["n_copies"] == 2
+    assert groups.iloc[0]["keep_id"] == 0
+    kept = drop_exact_dups(ds).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 1, 3]
+
+
+def test_minhash_estimates_jaccard():
+    from fastpasta_ray.functions.dedup import MinHasher, _shingle_hashes, ngram_jaccard
+
+    a = "the quick brown fox jumps over the lazy dog and runs far away home"
+    b = "the quick brown fox jumps over the lazy cat and runs far away home"
+    mh = MinHasher(num_perm=256)
+    t = docs_table([a, b])
+    sig = mh(t)
+    s = sig["minhash"].combine_chunks().values.to_numpy(zero_copy_only=False).reshape(2, -1)
+    est = (s[0] == s[1]).mean()
+    exact = ngram_jaccard(a, b)
+    assert abs(est - exact) < 0.15
+
+
+def test_simhash_near_dups():
+    from fastpasta_ray.functions.dedup import simhash_near_dups
+
+    base = "this is a long document about data processing " * 4
+    texts = [base, base.replace("data", "info", 1), "completely different content entirely " * 4]
+    ds = ray.data.from_arrow(docs_table(texts))
+    pairs = simhash_near_dups(ds, max_hamming=8).to_pandas()
+    assert (0, 1) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
+def test_cosine_topk_matches_numpy():
+    from fastpasta_ray.functions.similarity import cosine_topk
+
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((200, 16)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(200), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(pa.array(m.reshape(-1)), 16),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    q = m[0].astype(np.float64)
+    top = cosine_topk(ds, q, k=5, round_to=None).to_pandas()
+    mm = m.astype(np.float64)
+    mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    qq = q / np.linalg.norm(q)
+    sims = mm @ qq
+    expect = np.argsort(-sims)[:5]
+    assert list(top["vec_id"]) == list(expect)
+    assert top.iloc[0]["vec_id"] == 0 and abs(top.iloc[0]["cosine"] - 1.0) < 1e-9
+
+
+def test_embedding_near_dup_pairs():
+    from fastpasta_ray.functions.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(4)
+    m = rng.standard_normal((100, 64))
+    m[50] = m[10] + rng.standard_normal(64) * 0.001  # near-dup of 10
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(100), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1).astype(np.float32)), 64
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    pairs = embedding_near_dup_pairs(ds, threshold=0.99).to_pandas()
+    assert (10, 50) in set(zip(pairs["vec_a"], pairs["vec_b"]))
+
+
+def test_lang_id_heuristic():
+    from fastpasta_ray.functions.text import LangID
+
+    t = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "the cat is in the house and it was for the dog",
+                    "der Hund ist nicht mit der Katze und das ist gut",
+                    "le chat est dans la maison et les chiens sont pour",
+                    "xyzzy plugh qwerty",
+                ]
+            )
+        }
+    )
+    out = LangID()(t)
+    assert out["lang_pred"].to_pylist() == ["en", "de", "fr", "unknown"]
+
+
+def test_quality_and_token_count():
+    from fastpasta_ray.functions.text import QualityScorer, token_count
+
+    t = pa.table({"text": pa.array(["one two three", "a b"])})
+    assert token_count(t)["n_words"].to_pylist() == [3, 2]
+    scored = QualityScorer(min_len=10)(t)
+    s = scored["quality_score"].to_pylist()
+    assert 0 <= s[1] <= s[0] <= 1
+
+
+def test_fingerprint_stable():
+    from fastpasta_ray.functions.text import fingerprint
+
+    t = docs_table(["abc", "abc", "xyz"])
+    f = fingerprint(t)["fingerprint"].to_pylist()
+    assert f[0] == f[1] != f[2]
+
+
+def test_multimodal_plumbing():
+    from fastpasta_ray.functions.multimodal import (
+        MEDIA_BATCH_KWARGS,
+        AudioFrameSampler,
+        ImageDecoder,
+        synth_media_table,
+    )
+
+    t = synth_media_table(64)
+    ds = ray.data.from_arrow(t)
+    out = ds.map_batches(ImageDecoder(fake=True), **MEDIA_BATCH_KWARGS).to_pandas()
+    assert len(out) == 64
+    assert (out["pixels"] == 64 * 64).all()
+    assert out["mean_value"].between(100, 155).all()  # uniform bytes ≈ 127.5
+    audio = ds.map_batches(AudioFrameSampler(every_n=100), **MEDIA_BATCH_KWARGS).to_pandas()
+    assert (audio["n_samples"] == 41).all()  # ceil(4096/100)
+    with pytest.raises(NotImplementedError):
+        ImageDecoder(fake=False)
+
+
+def test_sessionize():
+    import pandas as pd
+
+    from fastpasta_ray.functions.windows import sessionize
+
+    ts = pd.to_datetime(
+        [
+            "2020-01-01 00:00:00",
+            "2020-01-01 00:10:00",  # same session (gap 10m < 30m)
+            "2020-01-01 02:00:00",  # new session
+            "2020-01-01 00:05:00",  # user 2
+        ]
+    )
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+    out = sessionize(ray.data.from_arrow(t), gap_seconds=1800).to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("session_start")
+    assert len(u1) == 2
+    assert list(u1["n_events"]) == [2, 1]
+    assert len(out[out["user_id"] == 2]) == 1

@@ -1,0 +1,114 @@
+"""Sketch unit tests: merge-associativity, accuracy, serde round-trips —
+the analog of the reference's stats serde tests (stats_collector.rs:230-268)."""
+
+import json
+
+import numpy as np
+
+from fastpasta_ray.checks.drift import ks, psi
+from fastpasta_ray.sketches import (
+    Counter,
+    HyperLogLog,
+    IntHistogram,
+    MinMax,
+    PartStats,
+    hash_strings,
+    splitmix64,
+)
+
+
+def test_hll_accuracy_and_merge():
+    h1, h2 = HyperLogLog(), HyperLogLog()
+    a = np.array([f"k{i}" for i in range(60_000)], dtype=object)
+    h1.add_strings(a[:40_000])
+    h2.add_strings(a[20_000:])  # overlap
+    h1.merge(h2)
+    est = h1.estimate()
+    assert abs(est - 60_000) / 60_000 < 0.03  # p=14 → ~0.8% expected error
+
+
+def test_hll_serde_roundtrip():
+    h = HyperLogLog()
+    h.add_strings(np.array(["a", "b", "c"], dtype=object))
+    h2 = HyperLogLog.from_json(json.loads(json.dumps(h.to_json())))
+    assert np.array_equal(h.registers, h2.registers)
+    assert round(h.estimate(), 6) == round(h2.estimate(), 6)
+
+
+def test_hll_deterministic_across_calls():
+    h1, h2 = HyperLogLog(), HyperLogLog()
+    h1.add_strings(np.array(["x", "y"], dtype=object))
+    h2.add_strings(np.array(["x", "y"], dtype=object))
+    assert np.array_equal(h1.registers, h2.registers)
+
+
+def test_int_histogram_exact_quantiles_match_numpy():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(1, 500, size=10_000)
+    h = IntHistogram()
+    h.add(vals[:6000])
+    h2 = IntHistogram()
+    h2.add(vals[6000:])
+    h.merge(h2)
+    assert h.n == 10_000
+    assert h.min() == int(vals.min()) and h.max() == int(vals.max())
+    s = np.sort(vals)
+    for q in (0.25, 0.5, 0.75, 0.99):
+        # quantile_disc convention: element at ceil(q*n)-1 (0-based)
+        import math
+
+        expect = int(s[max(0, math.ceil(q * len(s)) - 1)])
+        assert h.quantile(q) == expect, q
+    assert abs(h.mean() - vals.mean()) < 1e-9
+
+
+def test_counter_and_minmax_merge():
+    c1, c2 = Counter(), Counter()
+    c1.add_array(np.array(["a", "b", "a", None], dtype=object))
+    c2.add_array(np.array(["b", "c"], dtype=object))
+    c1.merge(c2)
+    assert c1.to_json() == {"": 1, "a": 2, "b": 2, "c": 1}
+    m1, m2 = MinMax(), MinMax()
+    m1.add(np.array([5, 10]))
+    m2.add(np.array([-3, 7]))
+    m1.merge(m2)
+    assert (m1.lo, m1.hi) == (-3, 10)
+
+
+def test_part_stats_serde_roundtrip():
+    ps = PartStats()
+    ps.row_count = 10
+    ps.token_count = 100
+    ps.hll.add_strings(np.array(["a", "b"], dtype=object))
+    ps.n_tok_hist.add(np.array([3, 5, 5]))
+    ps.source_hist.add("web", 7)
+    ps.token_mm.add(np.array([0, 999]))
+    ps2 = PartStats.from_json(ps.to_json())
+    assert ps2.row_count == 10 and ps2.token_count == 100
+    assert ps2.n_tok_hist.to_json() == {"3": 1, "5": 2}
+    assert ps2.source_hist.counts == {"web": 7}
+    assert (ps2.token_mm.lo, ps2.token_mm.hi) == (0, 999)
+    assert ps2.to_json() == ps.to_json()
+
+
+def test_hash_strings_stable():
+    # the cross-process determinism contract (fixed-key siphash)
+    h = hash_strings(np.array(["web/0000/00000001"], dtype=object))
+    assert h.dtype == np.uint64
+    h2 = hash_strings(np.array(["web/0000/00000001"], dtype=object))
+    assert h[0] == h2[0]
+
+
+def test_splitmix_determinism():
+    x = np.array([1, 2, 3], dtype=np.uint64)
+    assert np.array_equal(splitmix64(x), splitmix64(x.copy()))
+    assert len(set(splitmix64(np.arange(1000, dtype=np.uint64)).tolist())) == 1000
+
+
+def test_psi_ks_basics():
+    p = np.array([0.25, 0.25, 0.25, 0.25])
+    assert psi(p, p) < 1e-9
+    q = np.array([0.7, 0.1, 0.1, 0.1])
+    assert psi(p, q) > 0.2
+    assert ks(p, p) < 1e-12
+    assert 0 < ks(p, q) <= 1
