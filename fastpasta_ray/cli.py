@@ -63,6 +63,9 @@ def cmd_check(args) -> int:
         enabled_codes=tuple(args.codes.split(",")) if args.codes else None,
         max_errors_per_part=args.max_errors,
         expected_row_count=args.expect_rows,
+        bos_id=args.bos_id,
+        eos_id=args.eos_id,
+        pad_id=args.pad_id,
     )
     res = run_check(
         args.input_dir,
@@ -137,6 +140,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--codes", default=None, help="comma-separated error-code filter")
     c.add_argument("--max-errors", type=int, default=10_000, help="per-partition violation cap")
     c.add_argument("--expect-rows", type=int, default=None, help="expected row count (custom check E9001)")
+    c.add_argument("--bos-id", type=int, default=None, help="grammar: required first token (E30)")
+    c.add_argument("--eos-id", type=int, default=None, help="grammar: required last token (E50)")
+    c.add_argument("--pad-id", type=int, default=None, help="grammar: pad token allowed only as tail (E60)")
     c.add_argument("--input-stats", default=None, help="reference profile JSON to compare against")
     c.add_argument("--output-stats", default=None, help="write stats snapshot JSON here")
     c.add_argument("--print-errors", type=int, default=50)

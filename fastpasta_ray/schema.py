@@ -75,6 +75,11 @@ E_SOURCE_NULL = "E40"        # source null/empty           ~ [E40] TDH sanity
 E_SOURCE_DOMAIN = "E41"      # source not in domain        ~ [E41] TDH running
 E_TOKEN_RANGE = "E70"        # token id out of vocab range ~ [E70] invalid data-word ID
 E_TOKENS_NULL = "E100"       # tokens list null/truncated  ~ [E100] partial payload at EOF
+# sequence-grammar (FSM) checks — analog of the ITS payload word-sequence
+# grammar (its_payload_fsm_cont.rs:24-81) and status-word sanity [E30]/[E50]/[E60]
+E_GRAMMAR_BOS = "E30"        # first token != BOS           ~ IHW sanity [E30]
+E_GRAMMAR_EOS = "E50"        # last token != EOS            ~ TDT sanity [E50]
+E_GRAMMAR_PAD = "E60"        # pad token before sequence end ~ DDW0 sanity [E60]
 # running checks (analog of RdhCruRunningChecker [E11], rdh_running.rs:38-184)
 E_ORDER = "E11"              # non-monotonic doc index within a partition
 # shuffle checks
@@ -91,7 +96,8 @@ E_DRIFT_KS = "E9441"         # KS drift gate breached (per partition)
 
 ALL_CODES = (
     E_NTOK_MISMATCH, E_DOCID_FORMAT, E_DOCID_NULL, E_SCHEMA, E_SOURCE_NULL,
-    E_SOURCE_DOMAIN, E_TOKEN_RANGE, E_TOKENS_NULL, E_ORDER, E_DUP_DOCID,
+    E_SOURCE_DOMAIN, E_TOKEN_RANGE, E_TOKENS_NULL, E_GRAMMAR_BOS,
+    E_GRAMMAR_EOS, E_GRAMMAR_PAD, E_ORDER, E_DUP_DOCID,
     E_ORPHAN, E_MANIFEST_NTOK, E_EMPTY_DOC, E_CUSTOM_COUNT, E_PROFILE_FIELD,
     E_DRIFT_PSI, E_DRIFT_KS,
 )

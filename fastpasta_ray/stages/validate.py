@@ -48,7 +48,18 @@ class CheckConfig:
     expected_row_count: int | None = None  # custom-checks `cdps` analog (E9001)
     drift_psi_threshold: float = 0.2
     drift_ks_threshold: float = 0.15
+    # sequence-grammar (FSM analog) rules; None disables each — the
+    # custom-checks TOML analog (custom_checks_cfg.rs:7-28)
+    bos_id: int | None = None
+    eos_id: int | None = None
+    pad_id: int | None = None
     extra: dict = field(default_factory=dict)
+
+    @property
+    def grammar(self):
+        from fastpasta_ray.checks.grammar import GrammarConfig
+
+        return GrammarConfig(self.bos_id, self.eos_id, self.pad_id)
 
 
 def _filter_codes(v: pa.Table, enabled: tuple | None) -> pa.Table:
@@ -146,6 +157,12 @@ class ValidateFiles:
                 v = run_row_checks(
                     batch, vocab=cfg.vocab, source_domain=cfg.source_domain
                 )
+                if cfg.bos_id is not None or cfg.eos_id is not None or cfg.pad_id is not None:
+                    from fastpasta_ray.checks.grammar import run_grammar_checks
+
+                    gv = run_grammar_checks(batch, cfg.grammar)
+                    if gv.num_rows:
+                        v = pa.concat_tables([v, gv])
                 if running is not None:
                     rv = running.check_batch(batch)
                     if rv.num_rows:

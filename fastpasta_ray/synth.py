@@ -30,6 +30,9 @@ from fastpasta_ray.schema import (
 SEED = 42
 
 
+PAD_ID, BOS_ID, EOS_ID = 0, 1, 2
+
+
 @dataclass
 class SynthSpec:
     n_rows: int = 1000              # rows per partition
@@ -40,6 +43,7 @@ class SynthSpec:
     mean_n_tok: int = 64            # small for tests; bench uses larger
     max_n_tok: int = 4096
     seed: int = SEED
+    grammar: bool = False           # wrap rows as [BOS] body [EOS] (FSM fixtures)
     defects: dict = field(default_factory=dict)  # name -> count or params
 
 
@@ -62,9 +66,12 @@ def gen_partition(spec: SynthSpec, part_idx: int) -> pa.Table:
         rng.lognormal(mean=np.log(spec.mean_n_tok), sigma=0.6, size=n), 8, spec.max_n_tok
     ).astype(np.int32)
     total = int(n_tok.sum())
-    flat = rng.integers(0, spec.vocab, size=total, dtype=np.int32)
+    flat = rng.integers(4 if spec.grammar else 0, spec.vocab, size=total, dtype=np.int32)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(n_tok, out=offsets[1:])
+    if spec.grammar:
+        flat[offsets[:-1]] = BOS_ID
+        flat[offsets[1:] - 1] = EOS_ID
     tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()) if total < 2**31 else pa.array(offsets), pa.array(flat))
     # doc index: monotonically increasing within partition (running-check contract)
     idx = np.arange(n, dtype=np.int64)
@@ -186,7 +193,27 @@ def inject_bad_drift(t: pa.Table, rng, _k: int) -> tuple[pa.Table, np.ndarray]:
     )
 
 
+def inject_bad_grammar(t: pa.Table, rng, k: int) -> tuple[pa.Table, np.ndarray]:
+    """Break the [BOS] body [EOS] grammar in k rows, cycling through the
+    three defect kinds (missing BOS / missing EOS / interior PAD)."""
+    rows = _pick_rows(rng, t.num_rows, k)
+    col = t["tokens"].combine_chunks()
+    offsets = col.offsets.to_numpy()
+    values = col.values.to_numpy(zero_copy_only=False).copy()
+    for j, r in enumerate(rows):
+        s, e = offsets[r], offsets[r + 1]
+        if j % 3 == 0:
+            values[s] = 99  # not BOS
+        elif j % 3 == 1:
+            values[e - 1] = 99  # not EOS
+        else:
+            values[s + (e - s) // 2] = PAD_ID  # interior pad
+    new = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32()))
+    return t.set_column(1, "tokens", new.cast(pa.list_(pa.int32()))), rows
+
+
 INJECTORS = {
+    "bad_grammar": inject_bad_grammar,
     "bad_len": inject_bad_len,
     "bad_vocab": inject_bad_vocab,
     "bad_null_source": inject_bad_null_source,
