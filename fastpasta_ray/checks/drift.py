@@ -38,6 +38,7 @@ def build_profile(stats_by_part: dict[str, PartStats], violations_by_code: dict[
         "n_tok_max": g.n_tok_hist.max(),
         "token_min": g.token_mm.lo,
         "token_max": g.token_mm.hi,
+        "vocab_seen_count": g.vocab_bitmap.count,
         "source_histogram": g.source_hist.to_json(),
         "n_tok_hist": g.n_tok_hist.to_json(),
         "violation_count_by_code": dict(sorted((violations_by_code or {}).items())),
@@ -124,6 +125,7 @@ EXACT_FIELDS = (
     "n_tok_max",
     "token_min",
     "token_max",
+    "vocab_seen_count",
 )
 
 

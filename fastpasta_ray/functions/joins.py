@@ -1,0 +1,94 @@
+"""Custom joins Ray Data lacks: as-of join (and the broadcast patterns
+used in queries.py).
+
+As-of join semantics: for each left row, the single right row with the
+largest right timestamp ≤ the left timestamp, within the same key group —
+the standard event-attribution / market-data join.
+
+Implementation (per SURVEY.md custom-operator guidance): composition of
+map_batches + groupby(bucket) with vectorized ``pd.merge_asof`` inside
+each bucket. Both sides are bucketed by ``hash(by) % num_buckets`` so all
+rows of one key land in one group; within the bucket rows are sorted once
+and merged vectorized. Partitioning assumption documented: correctness
+requires only key-colocation, which hash bucketing provides regardless of
+key skew; bucket count bounds the per-task memory (right side of a bucket
+must fit in a task's heap — choose num_buckets so that holds).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    on: str,
+    by: str,
+    right_cols: list[str] | None = None,
+    num_buckets: int = 64,
+    direction: str = "backward",
+) -> "ray.data.Dataset":
+    """As-of join of two datasets on time column ``on`` within key ``by``."""
+
+    def tag(side: str):
+        def f(b: pa.Table) -> pa.Table:
+            k = b[by].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "__bucket", pa.array((k.astype(np.int64) % num_buckets).astype(np.int64))
+            ).append_column("__side", pa.array([side] * b.num_rows, type=pa.string()))
+
+        return f
+
+    # union both sides into one shuffle (schemas may differ → align columns)
+    lcols = [f.name for f in left.schema().base_schema]
+    rcols = [f.name for f in right.schema().base_schema]
+    keep_r = right_cols or [c for c in rcols if c not in (on, by)]
+
+    def widen_left(b: pa.Table) -> pa.Table:
+        t = tag("l")(b)
+        for c in keep_r:
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(t.num_rows, type=pa.float64()))
+        return t
+
+    def widen_right(b: pa.Table) -> pa.Table:
+        t = tag("r")(b.select([by, on] + keep_r))
+        for c in lcols:
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(t.num_rows, type=pa.float64()))
+        return t
+
+    lw = left.map_batches(widen_left, batch_format="pyarrow")
+    rw = right.map_batches(widen_right, batch_format="pyarrow")
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        l = df[df["__side"] == "l"][lcols].sort_values(on, kind="mergesort")
+        r = df[df["__side"] == "r"][[by, on] + keep_r].sort_values(on, kind="mergesort")
+        r = r.rename(columns={on: f"{on}_right"})
+        if not len(l):
+            return pa.Table.from_pandas(
+                pd.DataFrame(columns=lcols + [f"{on}_right"] + keep_r),
+                preserve_index=False,
+            )
+        out = pd.merge_asof(
+            l,
+            r,
+            left_on=on,
+            right_on=f"{on}_right",
+            by=by,
+            direction=direction,
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        lw.union(rw)
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )

@@ -205,6 +205,7 @@ def make_report(
             "quantiles": profile["n_tok_quantiles"],
         },
         "token_range": {"min": profile["token_min"], "max": profile["token_max"]},
+        "vocab_seen_count": profile["vocab_seen_count"],
         "source_histogram": profile["source_histogram"],
         "violations_total": violations.num_rows,
         "violations_by_code": dict(sorted(by_code.items())),

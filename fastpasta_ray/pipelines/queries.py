@@ -779,3 +779,96 @@ QUERIES.update(
         "embedding_neardups": q_embedding_neardups,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# as-of join (custom operator — Ray Data has no native asof): purchase
+# events attributed to the most recent prior view of the same user
+# ---------------------------------------------------------------------------
+
+def q_asof_purchase_attribution(sf_dir: str):
+    from fastpasta_ray.functions.joins import asof_join
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def side(kind):
+        def f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b["event_type"], kind))
+            return t.drop_columns(["event_type"])
+        return f
+
+    purchases = ev.map_batches(side("purchase"), batch_format="pyarrow")
+    views = ev.map_batches(side("view"), batch_format="pyarrow").map_batches(
+        lambda b: b.select(["user_id", "ts"]), batch_format="pyarrow"
+    )
+    joined = asof_join(purchases, views, on="ts", by="user_id", right_cols=[])
+    t = _to_table(joined)
+    df = t.to_pandas()
+    import pandas as _pd
+
+    with_view = df["ts_right"].notna()
+    gaps = (df.loc[with_view, "ts"] - df.loc[with_view, "ts_right"]).dt.total_seconds()
+    return pa.table(
+        {
+            "n_purchases": pa.array([len(df)], type=pa.int64()),
+            "n_with_view": pa.array([int(with_view.sum())], type=pa.int64()),
+            "total_gap_s": pa.array([int(gaps.sum())], type=pa.int64()),
+        }
+    )
+
+
+ORACLES["asof_purchase_attribution"] = """
+    WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         j AS (
+            SELECT p.ts, v.ts AS vts
+            FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+         )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(vts) AS BIGINT) AS n_with_view,
+           CAST(SUM(CASE WHEN vts IS NOT NULL
+                         THEN date_diff('second', vts, ts) END) AS BIGINT) AS total_gap_s
+    FROM j
+"""
+QUERIES["asof_purchase_attribution"] = q_asof_purchase_attribution
+
+
+# ---------------------------------------------------------------------------
+# salted grouped aggregate: same result as source_histogram but the shuffle
+# key is (source, salt) — the skew-defusal pattern for hot keys; partials
+# are de-salted in a second (tiny) aggregation
+# ---------------------------------------------------------------------------
+
+def q_source_histogram_salted(sf_dir: str, n_salt: int = 8):
+    ds = _rp(sf_dir, "documents", ["source", "n_chars"])
+
+    def salt(b: pa.Table) -> pa.Table:
+        s = (np.arange(b.num_rows) % n_salt).astype(np.int64)
+        return b.append_column("salt", pa.array(s))
+
+    partial = (
+        ds.map_batches(salt, batch_format="pyarrow")
+        .groupby(["source", "salt"])
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+    )
+    df = _to_table(partial).to_pandas()
+    out = (
+        df.groupby("source", sort=True)
+        .agg(
+            n_docs=("n_docs", "sum"),
+            total_chars=("total_chars", "sum"),
+            min_chars=("min_chars", "min"),
+            max_chars=("max_chars", "max"),
+        )
+        .reset_index()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLES["source_histogram_salted"] = ORACLES["source_histogram"]
+QUERIES["source_histogram_salted"] = q_source_histogram_salted

@@ -238,20 +238,60 @@ class MinMax:
         return cls(d.get("min"), d.get("max"))
 
 
+class VocabBitmap:
+    """Exact distinct-token-id set over the bounded vocab domain — a plain
+    bit array (vocab/8 bytes) is cheaper AND exact where HLL would
+    approximate. Mergeable by OR; the 'vocab coverage' training-data metric."""
+
+    __slots__ = ("vocab", "seen")
+
+    def __init__(self, vocab: int, seen: np.ndarray | None = None):
+        self.vocab = vocab
+        self.seen = seen if seen is not None else np.zeros(vocab, dtype=bool)
+
+    def add(self, token_ids: np.ndarray) -> None:
+        if len(token_ids) == 0:
+            return
+        v = token_ids[(token_ids >= 0) & (token_ids < self.vocab)]
+        self.seen[v] = True
+
+    def merge(self, other: "VocabBitmap") -> "VocabBitmap":
+        np.logical_or(self.seen, other.seen, out=self.seen)
+        return self
+
+    @property
+    def count(self) -> int:
+        return int(self.seen.sum())
+
+    def to_json(self) -> dict:
+        return {
+            "vocab": self.vocab,
+            "bits": base64.b64encode(np.packbits(self.seen).tobytes()).decode(),
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "VocabBitmap":
+        bits = np.unpackbits(
+            np.frombuffer(base64.b64decode(d["bits"]), dtype=np.uint8)
+        )[: d["vocab"]].astype(bool)
+        return cls(d["vocab"], bits)
+
+
 class PartStats:
     """Per-partition mergeable stats bundle — the unit that flows from the
     validate stage to the final merge (analog of the reference's per-link
     stats flushed to the Controller)."""
 
-    __slots__ = ("row_count", "token_count", "hll", "n_tok_hist", "source_hist", "token_mm")
+    __slots__ = ("row_count", "token_count", "hll", "n_tok_hist", "source_hist", "token_mm", "vocab_bitmap")
 
-    def __init__(self):
+    def __init__(self, vocab: int = 50304):
         self.row_count = 0
         self.token_count = 0
         self.hll = HyperLogLog()
         self.n_tok_hist = IntHistogram()
         self.source_hist = Counter()
         self.token_mm = MinMax()
+        self.vocab_bitmap = VocabBitmap(vocab)
 
     def merge(self, other: "PartStats") -> "PartStats":
         self.row_count += other.row_count
@@ -260,6 +300,7 @@ class PartStats:
         self.n_tok_hist.merge(other.n_tok_hist)
         self.source_hist.merge(other.source_hist)
         self.token_mm.merge(other.token_mm)
+        self.vocab_bitmap.merge(other.vocab_bitmap)
         return self
 
     def to_json(self) -> str:
@@ -271,6 +312,7 @@ class PartStats:
                 "n_tok_hist": self.n_tok_hist.to_json(),
                 "source_hist": self.source_hist.to_json(),
                 "token_mm": self.token_mm.to_json(),
+                "vocab_bitmap": self.vocab_bitmap.to_json(),
             }
         )
 
@@ -284,4 +326,6 @@ class PartStats:
         ps.n_tok_hist = IntHistogram.from_json(d["n_tok_hist"])
         ps.source_hist = Counter.from_json(d["source_hist"])
         ps.token_mm = MinMax.from_json(d["token_mm"])
+        if "vocab_bitmap" in d:
+            ps.vocab_bitmap = VocabBitmap.from_json(d["vocab_bitmap"])
         return ps

@@ -101,7 +101,7 @@ class ValidateFiles:
 
     def validate_file(self, path: str) -> Iterator[pa.Table]:
         cfg = self.cfg
-        stats = PartStats()
+        stats = PartStats(vocab=cfg.vocab)
         running = RunningState() if cfg.running_checks else None
         emitted = 0
         part = None
@@ -144,6 +144,7 @@ class ValidateFiles:
             if len(flat):
                 vals = flat.to_numpy(zero_copy_only=False)
                 stats.token_mm.add(vals)
+                stats.vocab_bitmap.add(vals)
             ntok = batch["n_tok"].combine_chunks().to_numpy(zero_copy_only=False)
             stats.n_tok_hist.add(ntok)
             stats.source_hist.add_array(
