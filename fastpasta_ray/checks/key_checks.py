@@ -79,7 +79,7 @@ def _tag_seq_factory(part_index: dict[str, int], num_buckets: int):
                     "n_tok": pa.array([], type=pa.int64()),
                 }
             )
-        h = hash_strings(batch["doc_id"].combine_chunks().to_pylist())
+        h = hash_strings(batch["doc_id"].combine_chunks())
         pidx = np.fromiter(
             (part_index[p] for p in batch["part"].to_pylist()),
             dtype=np.int64,
@@ -102,7 +102,7 @@ def _tag_seq_factory(part_index: dict[str, int], num_buckets: int):
 
 def _tag_manifest_factory(num_buckets: int):
     def tag(batch: pa.Table) -> pa.Table:
-        h = hash_strings(batch["doc_id"].combine_chunks().to_pylist())
+        h = hash_strings(batch["doc_id"].combine_chunks())
         return pa.table(
             {
                 "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
@@ -226,7 +226,7 @@ def _recover_violations(
     if len(man_pos):
         assert manifest_path is not None
         mt = pq.read_table(manifest_path, columns=["doc_id"])
-        mh = hash_strings(mt["doc_id"].to_pylist())
+        mh = hash_strings(mt["doc_id"].combine_chunks())
         want = h[man_pos]
         order = np.argsort(mh, kind="stable")
         pos = np.searchsorted(mh[order], want)

@@ -102,7 +102,7 @@ def run_row_checks(
     # len(vals)-sized temp) only runs when a violation actually exists
     if len(vals) and (int(vals.min()) < 0 or int(vals.max()) >= vocab):
         bad = (vals < 0) | (vals >= vocab)
-        if True:
+        if bad.any():
             # map flat positions back to rows via valid-row lengths
             lens_np = lens.to_numpy(zero_copy_only=False)
             valid_lens = np.where(np.isnan(lens_np), 0, lens_np).astype(np.int64) if lens_np.dtype.kind == "f" else np.where(pc.is_null(lens).to_numpy(zero_copy_only=False), 0, lens_np).astype(np.int64)

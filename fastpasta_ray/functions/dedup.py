@@ -39,7 +39,7 @@ def exact_dup_groups(
     One shuffle over (id, fingerprint) only."""
 
     def fp(batch: pa.Table) -> pa.Table:
-        h = hash_strings(batch[text_col].to_pandas())
+        h = hash_strings(batch[text_col].combine_chunks() if isinstance(batch[text_col], __import__("pyarrow").ChunkedArray) else batch[text_col])
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -83,7 +83,7 @@ def drop_exact_dups(
     per-group first, the canonical exact-dedup plan."""
 
     def fp(batch: pa.Table) -> pa.Table:
-        h = hash_strings(batch[text_col].to_pandas())
+        h = hash_strings(batch[text_col].combine_chunks() if isinstance(batch[text_col], __import__("pyarrow").ChunkedArray) else batch[text_col])
         return batch.append_column("fingerprint", pa.array(h.astype(np.uint64))).append_column(
             "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
         )
@@ -93,7 +93,7 @@ def drop_exact_dups(
         keep = df.sort_values(id_col, kind="mergesort").drop_duplicates("fingerprint", keep="first")
         return pa.Table.from_pandas(
             keep.drop(columns=["bucket", "fingerprint"]), preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     return ds.map_batches(fp, batch_format="pyarrow").groupby("bucket").map_groups(
         first, batch_format="pyarrow"

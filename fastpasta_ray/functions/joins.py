@@ -76,7 +76,7 @@ def asof_join(
             return pa.Table.from_pandas(
                 pd.DataFrame(columns=lcols + [f"{on}_right"] + keep_r),
                 preserve_index=False,
-            )
+            ).replace_schema_metadata(None)
         out = pd.merge_asof(
             l,
             r,
@@ -85,7 +85,7 @@ def asof_join(
             by=by,
             direction=direction,
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return (
         lw.union(rw)

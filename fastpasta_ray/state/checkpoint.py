@@ -54,16 +54,21 @@ class CheckpointStore:
                 out[rec["part"]] = rec
         return out
 
-    def load_committed(self, committed: dict[str, dict]) -> tuple[pa.Table, dict[str, PartStats]]:
+    def load_committed(
+        self, committed: dict[str, dict]
+    ) -> tuple[pa.Table, dict[str, PartStats], dict[str, dict]]:
         tables = []
         stats: dict[str, PartStats] = {}
+        drift: dict[str, dict] = {}
         for part, rec in committed.items():
             vp = os.path.join(self.violations_dir, f"{part}.parquet")
             if os.path.exists(vp):
                 tables.append(pq.read_table(vp, schema=S.VIOLATIONS_SCHEMA))
             stats[part] = PartStats.from_json(rec["stats"])
+            if rec.get("drift") is not None:
+                drift[part] = rec["drift"]
         v = pa.concat_tables(tables) if tables else S.VIOLATIONS_SCHEMA.empty_table()
-        return v, stats
+        return v, stats, drift
 
     def commit(
         self,
@@ -71,6 +76,7 @@ class CheckpointStore:
         violations: pa.Table,
         stats_by_part: dict[str, PartStats],
         previously_committed: dict[str, dict],
+        drift_by_part: dict[str, dict] | None = None,
     ) -> None:
         """Commit each newly finished partition: violations parquet first,
         then the atomic commit record (crash between the two → uncommitted,
@@ -90,6 +96,7 @@ class CheckpointStore:
                 "row_count": stats_by_part[part].row_count,
                 "violation_count": pv.num_rows,
                 "stats": stats_by_part[part].to_json(),
+                "drift": (drift_by_part or {}).get(part),
                 "status": "committed",
             }
             rp = os.path.join(self.commits_dir, f"{part}.json")

@@ -57,3 +57,24 @@ def test_resume_skips_committed(tmp_path, monkeypatch):
     r = run_check(d, with_key_checks=False, out_dir=out, resume=True)
     assert r.report["total_rows"] == 300
     assert not r.any_errors
+
+
+def test_resume_restores_drift_verdicts(tmp_path):
+    """Drift verdicts are computed in-task and committed with the partition;
+    a resumed run restores them without recomputing the skipped parts."""
+    from fastpasta_ray.checks.drift import build_profile
+
+    d = str(tmp_path / "fix")
+    out = str(tmp_path / "out")
+    write_fixture(d, SynthSpec(n_rows=150, n_parts=3))
+    base = run_check(d, with_key_checks=False)
+    profile = build_profile(base.stats_by_part)
+
+    r1 = run_check(d, with_key_checks=False, out_dir=out, reference_profile=profile)
+    assert set(r1.drift_metrics) == {f"part-{i:04d}" for i in range(3)}
+    os.remove(os.path.join(out, "commits", "part-0002.json"))
+    r2 = run_check(
+        d, with_key_checks=False, out_dir=out, resume=True, reference_profile=profile
+    )
+    assert r2.drift_metrics == r1.drift_metrics
+    assert r2.report == r1.report

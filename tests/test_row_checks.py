@@ -137,3 +137,25 @@ def test_running_skips_malformed_ids():
     )
     assert st.check_batch(b).num_rows == 0
     assert st.last_idx == 4
+
+
+def test_mixed_null_and_out_of_range_rows():
+    """Null tokens (E100) and out-of-range tokens (E70) in one batch: the
+    flat→row index mapping must account for dropped null rows."""
+    v = run_row_checks(
+        mk_batch(
+            [
+                ("web/0000/00000001", None, 3, "web"),
+                ("web/0000/00000002", [1, 99999], 2, "web"),
+                ("web/0000/00000003", [1, 2], 2, "web"),
+                ("web/0000/00000004", None, 1, "web"),
+                ("web/0000/00000005", [70000], 1, "web"),
+            ]
+        )
+    )
+    assert codes_of(v) == [(0, "E100"), (1, "E70"), (3, "E100"), (4, "E70")]
+    msgs = [m for m in v["message"].to_pylist() if "E70" in m]
+    assert msgs == [
+        "[E70] token id 99999 out of range [0, 50304) at index 1",
+        "[E70] token id 70000 out of range [0, 50304) at index 0",
+    ]
