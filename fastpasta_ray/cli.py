@@ -58,7 +58,13 @@ def cmd_check(args) -> int:
     if args.input_stats:
         with open(args.input_stats) as f:
             profile = json.load(f)
-    cfg = CheckConfig(
+    if args.checks_config:
+        from fastpasta_ray.checks.registry import load_config
+
+        cfg = load_config(args.checks_config)
+    else:
+        cfg = None
+    cfg = cfg or CheckConfig(
         running_checks=not args.sanity_only,
         enabled_codes=tuple(args.codes.split(",")) if args.codes else None,
         max_errors_per_part=args.max_errors,
@@ -92,6 +98,14 @@ def cmd_check(args) -> int:
         write_stats(rep, args.output_stats)
         print(f"stats written to {args.output_stats}")
     return 1 if rep["any_errors"] else 0
+
+
+def cmd_generate_config(args) -> int:
+    from fastpasta_ray.checks.registry import generate_template
+
+    generate_template(args.output)
+    print(f"config template written to {args.output}")
+    return 0
 
 
 def cmd_view(args) -> int:
@@ -148,7 +162,13 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--print-errors", type=int, default=50)
     c.add_argument("--checkpoint-dir", default=None)
     c.add_argument("--resume", action="store_true")
+    c.add_argument("--checks-config", default=None,
+                   help="JSON config file (overrides other check flags; --checks-toml analog)")
     c.set_defaults(fn=cmd_check)
+
+    g = sub.add_parser("generate-config", help="write a default checks-config template")
+    g.add_argument("output")
+    g.set_defaults(fn=cmd_generate_config)
 
     v = sub.add_parser("view", help="formatted sample rows")
     v.add_argument("input_dir")

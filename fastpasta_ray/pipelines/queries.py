@@ -914,3 +914,151 @@ ORACLES["props_extract"] = """
     FROM events GROUP BY event_type
 """
 QUERIES["props_extract"] = q_props_extract
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: 3-way join (broadcast dim + shuffle fact-fact) + top-k
+# ---------------------------------------------------------------------------
+
+def q_q3_shipping_priority(sf_dir: str):
+    cust = _to_table(_rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
+    seg_keys = ray.put(
+        np.sort(
+            cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_numpy()
+        )
+    )
+
+    class SegFilter:  # broadcast semi-join: orders of BUILDING customers
+        def __init__(self):
+            self.keys = ray.get(seg_keys)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.keys, ck), 0, len(self.keys) - 1)
+            return b.filter(pa.array(self.keys[pos] == ck))
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        SegFilter, batch_format="pyarrow", concurrency=2
+    )
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "revenue": pc.multiply(
+                    b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+                ),
+            }
+        )
+
+    joined = li.map_batches(rev, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+        Sum("revenue", alias_name="revenue")
+    )
+    df = _to_table(agg).to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort").head(10)
+    return pa.table(
+        {
+            "l_orderkey": pa.array(df["l_orderkey"].astype("int64")),
+            "o_orderdate": pa.array(df["o_orderdate"].astype("datetime64[us]")),
+            "revenue": pa.array(df["revenue"]),
+        }
+    )
+
+
+ORACLES["q3_shipping_priority"] = """
+    SELECT l_orderkey, o_orderdate, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+QUERIES["q3_shipping_priority"] = q_q3_shipping_priority
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: dim chain broadcast (region->nation->customer) + shuffle
+# join orders⋈lineitem, revenue per nation
+# ---------------------------------------------------------------------------
+
+def q_q5_local_supplier_volume(sf_dir: str):
+    region = _to_table(_rp(sf_dir, "region"))
+    nation = _to_table(_rp(sf_dir, "nation"))
+    cust = _to_table(_rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]))
+    asia = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"].to_pylist()
+    nat = nation.filter(pc.is_in(nation["n_regionkey"], value_set=pa.array(asia, type=pa.int32())))
+    nkey_to_name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    ck = cust["c_custkey"].to_numpy()
+    cn = cust["c_nationkey"].to_numpy(zero_copy_only=False)
+    sel = np.isin(cn, list(nkey_to_name))
+    lookup = ray.put((np.sort(ck[sel]), cn[sel][np.argsort(ck[sel])]))
+
+    class CustNation:  # broadcast join: order -> customer nation (ASIA only)
+        def __init__(self):
+            self.keys, self.nk = ray.get(lookup)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ock = b["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.keys, ock), 0, max(len(self.keys) - 1, 0))
+            hit = len(self.keys) > 0 and True
+            mask = self.keys[pos] == ock if len(self.keys) else np.zeros(len(ock), bool)
+            t = b.filter(pa.array(mask))
+            ock2 = t["o_custkey"].to_numpy(zero_copy_only=False)
+            pos2 = np.searchsorted(self.keys, ock2)
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "c_nationkey": pa.array(self.nk[pos2].astype(np.int64)),
+                }
+            )
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        CustNation, batch_format="pyarrow", concurrency=2
+    )
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "revenue": pc.multiply(
+                    b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+                ),
+            }
+        )
+
+    joined = li.map_batches(rev, batch_format="pyarrow").join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    agg = _to_table(joined.groupby("c_nationkey").aggregate(Sum("revenue", alias_name="revenue")))
+    df = agg.to_pandas()
+    df["n_name"] = df["c_nationkey"].map(nkey_to_name)
+    df["revenue"] = df["revenue"].round(2)
+    return pa.table(
+        {"n_name": pa.array(df["n_name"].astype(str)), "revenue": pa.array(df["revenue"])}
+    )
+
+
+ORACLES["q5_local_supplier_volume"] = """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+"""
+QUERIES["q5_local_supplier_volume"] = q_q5_local_supplier_volume

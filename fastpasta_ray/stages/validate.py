@@ -167,6 +167,12 @@ class ValidateFiles:
                     gv = run_grammar_checks(batch, cfg.grammar)
                     if gv.num_rows:
                         v = pa.concat_tables([v, gv])
+                if cfg.extra.get("custom_checks"):
+                    from fastpasta_ray.checks.registry import run_custom_checks
+
+                    cv = run_custom_checks(batch, cfg)
+                    if cv.num_rows:
+                        v = pa.concat_tables([v, cv])
                 if running is not None:
                     rv = running.check_batch(batch)
                     if rv.num_rows:
