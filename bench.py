@@ -107,7 +107,12 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
             "hourly_events",
             "similarity_top10",
             "minhash_pairs",
+            "simhash_pairs",
             "token_counts",
+            "session_stats",
+            "asof_purchase_attribution",
+            "q3_shipping_priority",
+            "word_topk",
         ):
             t0 = time.perf_counter()
             out = QUERIES[name](sf_dir)

@@ -278,6 +278,10 @@ def _map_seq_shard(path: str, part_idx: int, num_buckets: int, batch_rows: int):
     hash/tag, split by bucket → num_buckets separate returns (reducers
     fetch only their shard from the object store)."""
     tag = _tag_seq_factory({part_of(path): part_idx}, num_buckets)
+    if batch_rows == "auto":
+        from fastpasta_ray.sources.parquet import auto_batch_rows
+
+        batch_rows = auto_batch_rows(path)
     pf = pq.ParquetFile(path)
     row_off = 0
     outs: list[list[pa.Table]] = [[] for _ in range(num_buckets)]
@@ -317,10 +321,10 @@ def _map_manifest_shard(path: str, row_groups: list[int], num_buckets: int):
 
 @ray.remote
 def _reduce_bucket(*shards: pa.Table) -> pa.Table:
-    t = pa.concat_tables([s for s in shards if s.num_rows])
-    if t.num_rows == 0:
+    nonempty = [s for s in shards if s.num_rows]
+    if not nonempty:  # a bucket can be entirely empty on small inputs
         return CANDIDATE_SCHEMA.empty_table()
-    return _bucket_candidates(t)
+    return _bucket_candidates(pa.concat_tables(nonempty))
 
 
 def key_checks(

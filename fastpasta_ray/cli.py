@@ -97,6 +97,11 @@ def cmd_check(args) -> int:
     if args.output_stats:
         write_stats(rep, args.output_stats)
         print(f"stats written to {args.output_stats}")
+    if args.output_violations:
+        from fastpasta_ray.pipelines.check import write_violations
+
+        paths = write_violations(res.violations, args.output_violations)
+        print(f"{len(paths)} violation file(s) written to {args.output_violations}")
     return 1 if rep["any_errors"] else 0
 
 
@@ -159,6 +164,7 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--pad-id", type=int, default=None, help="grammar: pad token allowed only as tail (E60)")
     c.add_argument("--input-stats", default=None, help="reference profile JSON to compare against")
     c.add_argument("--output-stats", default=None, help="write stats snapshot JSON here")
+    c.add_argument("--output-violations", default=None, help="write violations parquet (one file per partition) here")
     c.add_argument("--print-errors", type=int, default=50)
     c.add_argument("--checkpoint-dir", default=None)
     c.add_argument("--resume", action="store_true")

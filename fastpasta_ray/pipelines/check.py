@@ -107,23 +107,11 @@ def run_check(
         store = None
         files_todo = files
 
-    # ---- pass 1 (payload) and pass 2 (scalar shuffle) run CONCURRENTLY:
-    # they read independent column sets and only meet at the final merge,
-    # so overlapping them hides each execution's fixed planning/driver cost
-    # and keeps the cluster busy when either pass alone would underuse it.
-    kv_result: dict = {}
-    kv_thread = None
-    if with_key_checks and files:
-        import threading
-
-        def _run_kv():
-            kv_result["t"] = key_checks(
-                files, manifest_path, num_buckets=num_buckets, batch_rows=cfg.batch_rows
-            )
-
-        kv_thread = threading.Thread(target=_run_kv, daemon=True)
-        kv_thread.start()
-
+    # ---- pass 1 (payload) then pass 2 (scalar exchange) SEQUENTIALLY.
+    # (Measured: overlapping them in a driver thread thrashes — the raw-task
+    # exchange competes with the Dataset executor's resource reservations
+    # and a 8s job became 54s on a 5M-row fixture. Sequential is strictly
+    # faster at scale; each pass saturates the cluster on its own.)
     if files_todo:
         out = file_dataset(files_todo).map_batches(
             ValidateFiles(cfg, reference_profile),
@@ -152,12 +140,13 @@ def run_check(
         # every run and never committed
         store.commit(files_todo, violations, stats_by_part, committed, drift_metrics)
 
-    # ---- join pass 2 (slim int-only shuffle + targeted doc_id recovery,
-    # see checks/key_checks.py) and merge its violations
-    if kv_thread is not None:
-        kv_thread.join()
-        kv_t = kv_result.get("t")
-        if kv_t is not None and kv_t.num_rows:
+    # ---- pass 2: key checks (slim int-only exchange + targeted doc_id
+    # recovery, see checks/key_checks.py)
+    if with_key_checks and files:
+        kv_t = key_checks(
+            files, manifest_path, num_buckets=num_buckets, batch_rows=cfg.batch_rows
+        )
+        if kv_t.num_rows:
             violations = pa.concat_tables([violations, kv_t])
 
     # ---- sort violations by position (O2 analog: error_stats.rs:36-47) ---
@@ -237,3 +226,23 @@ def write_stats(report: dict, path: str) -> None:
     """JSON stats snapshot sink (StatsCollector::write_stats analog)."""
     with open(path, "w") as f:
         json.dump(report, f, indent=2, sort_keys=True)
+
+
+def write_violations(violations: pa.Table, out_dir: str) -> list[str]:
+    """Partitioned violations sink: one parquet file per data partition
+    (resumable layout — never one giant file). Returns written paths."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    parts = sorted(set(violations["part"].to_pylist())) if violations.num_rows else []
+    for part in parts:
+        pv = violations.filter(pc.equal(violations["part"], pa.scalar(part)))
+        p = os.path.join(out_dir, f"{part}.parquet")
+        tmp = p + ".tmp"
+        pq.write_table(pv, tmp)
+        os.replace(tmp, p)
+        paths.append(p)
+    return paths

@@ -21,12 +21,28 @@ import glob
 import os
 from collections.abc import Iterator
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray
 
 DEFAULT_BATCH_ROWS = 8192
+TARGET_BATCH_BYTES = 32 << 20  # ~32 MiB of Arrow data per streamed batch
+
+
+def auto_batch_rows(path: str, target_bytes: int = TARGET_BATCH_BYTES) -> int:
+    """Memory-aware batch sizing from parquet metadata: a batch should be
+    ~target_bytes regardless of row width. 64-token rows → big batches;
+    8k-token rows (~32 KB/row) → ~1k-row batches, so batch × concurrency
+    stays inside a worker's heap (the 'very wide rows' hazard, SURVEY §7)."""
+    md = pq.ParquetFile(path).metadata
+    if md.num_rows == 0:
+        return DEFAULT_BATCH_ROWS
+    # total_byte_size is uncompressed arrow-ish size per row group
+    total = sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+    row_bytes = max(1, total // md.num_rows)
+    return int(np.clip(target_bytes // row_bytes, 64, 65536))
 
 
 def sequence_files(input_dir: str) -> list[str]:
@@ -42,10 +58,13 @@ def part_of(path: str) -> str:
 def iter_file_batches(
     path: str,
     columns: list[str] | None = None,
-    batch_rows: int = DEFAULT_BATCH_ROWS,
+    batch_rows: int | str = DEFAULT_BATCH_ROWS,
 ) -> Iterator[pa.Table]:
-    """Stream one file in order, attaching part + row_index columns."""
+    """Stream one file in order, attaching part + row_index columns.
+    ``batch_rows="auto"`` sizes batches to ~32 MiB from file metadata."""
     part = part_of(path)
+    if batch_rows == "auto":
+        batch_rows = auto_batch_rows(path)
     pf = pq.ParquetFile(path)
     row_off = 0
     # use_threads=False: each Ray task owns ONE core; Arrow's internal pool

@@ -41,7 +41,7 @@ from fastpasta_ray.sources.parquet import DEFAULT_BATCH_ROWS, iter_file_batches
 class CheckConfig:
     vocab: int = S.VOCAB_SIZE
     source_domain: tuple = S.SOURCES
-    batch_rows: int = DEFAULT_BATCH_ROWS
+    batch_rows: int | str = "auto"   # "auto" = ~32 MiB per batch from file metadata
     max_errors_per_part: int = 10_000
     running_checks: bool = True          # `check all` vs `check sanity` analog
     enabled_codes: tuple | None = None   # None = all (error-code filter analog)

@@ -211,3 +211,14 @@ def test_determinism_same_fixture_same_result(fixtures_dir, tmp_path):
     assert filecmp.cmp(
         os.path.join(d1, "part-0000.parquet"), os.path.join(d2, "part-0000.parquet")
     )
+
+
+def test_small_input_empty_buckets(tmp_path):
+    """Fewer rows than key-check buckets → some buckets are empty; the
+    reduce must handle all-empty shard sets (regression: ArrowInvalid
+    'Must pass at least one table')."""
+    d = str(tmp_path / "tiny")
+    write_fixture(d, SynthSpec(n_rows=30, n_parts=1), manifest=False)
+    res = run_check(d)  # key checks on by default, 64 buckets > 30 rows
+    assert not res.any_errors
+    assert res.report["total_rows"] == 30
