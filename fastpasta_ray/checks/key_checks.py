@@ -327,6 +327,48 @@ def _reduce_bucket(*shards: pa.Table) -> pa.Table:
     return _bucket_candidates(pa.concat_tables(nonempty))
 
 
+def key_checks_dataset(
+    files: list[str],
+    manifest_path: str | None,
+    *,
+    num_buckets: int = 64,
+    batch_rows: int | str = 8192,
+    max_candidates_per_bucket: int = 100_000,
+) -> "ray.data.Dataset":
+    """Dataset-native key checks: returns a lazy VIOLATIONS_SCHEMA dataset.
+
+    Used by run_check so the key-check exchange and the pass-1 payload scan
+    execute inside ONE streaming execution (``union``) — the executor
+    schedules both with backpressure, overlapping them without the
+    scheduler thrash a raw-task exchange causes next to a running Dataset.
+    The bucket reduce both detects candidates AND recovers the doc_id
+    strings for its own (rare, capped) violations — fully distributed, no
+    driver-side recovery step."""
+    part_index = {part_of(f): i for i, f in enumerate(files)}
+    from fastpasta_ray.sources.parquet import read_sequences
+
+    seq = read_sequences(files, columns=["doc_id", "n_tok"], batch_rows=batch_rows)
+    tagged = seq.map_batches(
+        _tag_seq_factory(part_index, num_buckets), batch_format="pyarrow"
+    )
+    if manifest_path is not None:
+        man = ray.data.read_parquet(
+            manifest_path, override_num_blocks=max(len(files), 8)
+        ).map_batches(_tag_manifest_factory(num_buckets), batch_format="pyarrow")
+        tagged = tagged.union(man)
+    files_r = list(files)
+
+    def bucket_to_violations(g: pa.Table) -> pa.Table:
+        cands = _bucket_candidates(g)
+        if cands.num_rows > max_candidates_per_bucket:
+            cands = cands.slice(0, max_candidates_per_bucket)
+        return _recover_violations(cands, files_r, manifest_path, batch_rows)
+
+    return tagged.groupby("bucket").map_groups(
+        bucket_to_violations, batch_format="pyarrow"
+    )
+
+
 def key_checks(
     files: list[str],
     manifest_path: str | None,

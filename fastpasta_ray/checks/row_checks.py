@@ -55,12 +55,19 @@ def run_row_checks(
     *,
     vocab: int = S.VOCAB_SIZE,
     source_domain: tuple = S.SOURCES,
+    flat_vals: np.ndarray | None = None,
+    flat_minmax: tuple | None = None,
 ) -> pa.Table:
     """All stateless checks over one Arrow batch (SEQUENCES_POS_SCHEMA).
 
     Returns a VIOLATIONS_SCHEMA table (possibly empty). Vectorized:
     token-range scan uses flattened list values + np.minimum.reduceat over
     list offsets — one pass over the payload, no per-row Python.
+
+    ``flat_vals`` / ``flat_minmax``: the caller (validate stage) already
+    flattened the tokens and computed the global min/max for its stats —
+    passing them here avoids re-walking the payload (2 fewer full passes
+    per batch on a memory-bandwidth-bound workload).
     """
     part = batch["part"].combine_chunks()
     row_index = batch["row_index"].combine_chunks()
@@ -96,11 +103,19 @@ def run_row_checks(
         )
 
     # --- E70: token out of vocab range — analog invalid data-word ID [E70]
-    flat_tokens = tokens.flatten()  # drops nulls; offsets below account for that
-    vals = flat_tokens.to_numpy(zero_copy_only=False)
+    if flat_vals is not None:
+        vals = flat_vals
+    else:
+        vals = tokens.flatten().to_numpy(zero_copy_only=False)  # drops null rows
+    if flat_minmax is not None:
+        vmin, vmax = flat_minmax
+    elif len(vals):
+        vmin, vmax = int(vals.min()), int(vals.max())
+    else:
+        vmin, vmax = 0, 0
     # cheap global min/max gate first: the expensive per-token mask (and its
     # len(vals)-sized temp) only runs when a violation actually exists
-    if len(vals) and (int(vals.min()) < 0 or int(vals.max()) >= vocab):
+    if len(vals) and (vmin < 0 or vmax >= vocab):
         bad = (vals < 0) | (vals >= vocab)
         if bad.any():
             # map flat positions back to rows via valid-row lengths

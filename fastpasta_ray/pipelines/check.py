@@ -33,6 +33,10 @@ import ray
 from fastpasta_ray import schema as S
 from fastpasta_ray.checks.drift import build_profile, custom_count_check
 from fastpasta_ray.checks.key_checks import key_checks
+
+# codes produced by the global key-check exchange (never checkpointed —
+# they are cross-partition and recomputed every run)
+KEY_CODES = (S.E_DUP_DOCID, S.E_ORPHAN, S.E_MANIFEST_NTOK, S.E_EMPTY_DOC)
 from fastpasta_ray.sketches import PartStats
 from fastpasta_ray.sources.parquet import file_dataset, sequence_files
 from fastpasta_ray.stages.validate import CheckConfig, ValidateFiles
@@ -107,18 +111,19 @@ def run_check(
         store = None
         files_todo = files
 
-    # ---- pass 1 (payload) then pass 2 (scalar exchange) SEQUENTIALLY.
-    # (Measured: overlapping them in a driver thread thrashes — the raw-task
-    # exchange competes with the Dataset executor's resource reservations
-    # and a 8s job became 54s on a 5M-row fixture. Sequential is strictly
-    # faster at scale; each pass saturates the cluster on its own.)
+    # ---- pass 1 (payload scan) then pass 2 (raw-task key-check exchange)
+    # SEQUENTIALLY. Alternatives measured and rejected: (a) driver-thread
+    # overlap of the raw exchange against the running Dataset thrashes the
+    # scheduler (8s → 54s on a 5M-row fixture); (b) expressing the exchange
+    # as a Dataset groupby unioned into the same execution pays the sort
+    # shuffle's per-block constant costs (4.3s → 14.5s at 8 cpus). Each
+    # sequential pass saturates the cluster on its own.
     if files_todo:
         out = file_dataset(files_todo).map_batches(
             ValidateFiles(cfg, reference_profile),
             batch_format="pyarrow",
             batch_size=None,
         )
-        # output only: violations are capped, stats are 1 row/file — small
         out_t = collect_table(out, S.VIOLATIONS_SCHEMA)
         violations, stats_by_part, drift_metrics = _split_sentinel(out_t)
     else:
@@ -127,6 +132,12 @@ def run_check(
             {},
             {},
         )
+    if with_key_checks and files:
+        kv_t = key_checks(
+            files, manifest_path, num_buckets=num_buckets, batch_rows=cfg.batch_rows
+        )
+        if kv_t.num_rows:
+            violations = pa.concat_tables([violations, kv_t])
 
     # ---- restore committed partitions from the checkpoint store ----------
     if store is not None:
@@ -135,19 +146,13 @@ def run_check(
             violations = pa.concat_tables([violations, v_prev])
             stats_by_part.update(s_prev)
             drift_metrics.update(d_prev)
-        # commit pass-1 outputs (incl. the partition's own drift verdicts);
-        # key-check violations are global (cross-partition), recomputed on
-        # every run and never committed
-        store.commit(files_todo, violations, stats_by_part, committed, drift_metrics)
-
-    # ---- pass 2: key checks (slim int-only exchange + targeted doc_id
-    # recovery, see checks/key_checks.py)
-    if with_key_checks and files:
-        kv_t = key_checks(
-            files, manifest_path, num_buckets=num_buckets, batch_rows=cfg.batch_rows
+        # commit pass-1 outputs only (sanity/running/grammar/drift — the
+        # per-partition verdicts); key-check violations are global
+        # (cross-partition), recomputed on every run and never committed
+        pass1_v = violations.filter(
+            pc.invert(pc.is_in(violations["code"], value_set=pa.array(list(KEY_CODES))))
         )
-        if kv_t.num_rows:
-            violations = pa.concat_tables([violations, kv_t])
+        store.commit(files_todo, pass1_v, stats_by_part, committed, drift_metrics)
 
     # ---- sort violations by position (O2 analog: error_stats.rs:36-47) ---
     if violations.num_rows:

@@ -239,12 +239,15 @@ class MinMax:
     def __init__(self, lo=None, hi=None):
         self.lo, self.hi = lo, hi
 
-    def add(self, values: np.ndarray) -> None:
+    def add(self, values: np.ndarray) -> tuple[int, int] | None:
+        """Accumulate; returns this call's own (min, max) so callers can
+        reuse the scan result instead of re-walking the array."""
         if len(values) == 0:
-            return
+            return None
         lo, hi = int(values.min()), int(values.max())
         self.lo = lo if self.lo is None else min(self.lo, lo)
         self.hi = hi if self.hi is None else max(self.hi, hi)
+        return lo, hi
 
     def merge(self, other: "MinMax") -> "MinMax":
         if other.lo is not None:

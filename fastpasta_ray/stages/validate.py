@@ -146,9 +146,11 @@ class ValidateFiles:
             tokens = batch["tokens"].combine_chunks()
             flat = tokens.flatten()
             stats.token_count += len(flat)
+            vals = None
+            minmax = None
             if len(flat):
                 vals = flat.to_numpy(zero_copy_only=False)
-                stats.token_mm.add(vals)
+                minmax = stats.token_mm.add(vals)
                 stats.vocab_bitmap.add(vals)
             ntok = batch["n_tok"].combine_chunks().to_numpy(zero_copy_only=False)
             stats.n_tok_hist.add(ntok)
@@ -159,7 +161,11 @@ class ValidateFiles:
             # --- checks ----------------------------------------------------
             if emitted < cfg.max_errors_per_part:
                 v = run_row_checks(
-                    batch, vocab=cfg.vocab, source_domain=cfg.source_domain
+                    batch,
+                    vocab=cfg.vocab,
+                    source_domain=cfg.source_domain,
+                    flat_vals=vals,
+                    flat_minmax=minmax,
                 )
                 if cfg.bos_id is not None or cfg.eos_id is not None or cfg.pad_id is not None:
                     from fastpasta_ray.checks.grammar import run_grammar_checks

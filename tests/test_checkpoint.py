@@ -78,3 +78,29 @@ def test_resume_restores_drift_verdicts(tmp_path):
     )
     assert r2.drift_metrics == r1.drift_metrics
     assert r2.report == r1.report
+
+
+def test_key_check_violations_not_committed(tmp_path):
+    """Key-check codes (E80/E71/E72/E701) are global and recomputed each
+    run — they must NOT be stored in partition commits, or a resumed run
+    would double-count them."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "fix")
+    out = str(tmp_path / "out")
+    write_fixture(d, SynthSpec(n_rows=200, n_parts=3), defect="bad_dup_doc_id", defect_k=3)
+    r1 = run_check(d, out_dir=out, manifest_path=os.path.join(d, "_manifest.parquet"))
+    dups1 = r1.violations.filter(pc.equal(r1.violations["code"], "E80")).num_rows
+    assert dups1 == 3
+    # stored per-partition violations contain no key-check codes
+    for f in os.listdir(os.path.join(out, "violations")):
+        t = pq.read_table(os.path.join(out, "violations", f))
+        assert not set(t["code"].to_pylist()) & {"E80", "E71", "E72", "E701"}
+    # full resume (all parts committed): key-check violations appear exactly once
+    r2 = run_check(
+        d, out_dir=out, resume=True, manifest_path=os.path.join(d, "_manifest.parquet")
+    )
+    dups2 = r2.violations.filter(pc.equal(r2.violations["code"], "E80")).num_rows
+    assert dups2 == 3
+    assert r2.violations.num_rows == r1.violations.num_rows
