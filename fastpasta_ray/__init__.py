@@ -22,3 +22,19 @@ The primary input table is ``sequences``:
 __version__ = "0.1.0"
 
 from fastpasta_ray.schema import SEQUENCES_SCHEMA, VIOLATIONS_SCHEMA  # noqa: F401
+
+
+def __getattr__(name):  # lazy: keep `import fastpasta_ray` light
+    if name in ("run_check", "CheckResult"):
+        from fastpasta_ray.pipelines import check as _c
+
+        return getattr(_c, name)
+    if name == "CheckConfig":
+        from fastpasta_ray.stages.validate import CheckConfig
+
+        return CheckConfig
+    if name in ("SynthSpec", "write_fixture"):
+        from fastpasta_ray import synth as _s
+
+        return getattr(_s, name)
+    raise AttributeError(name)

@@ -1062,3 +1062,42 @@ ORACLES["q5_local_supplier_volume"] = """
     GROUP BY n_name
 """
 QUERIES["q5_local_supplier_volume"] = q_q5_local_supplier_volume
+
+
+# ---------------------------------------------------------------------------
+# float quantiles via mergeable TDigest (rows-only: approximate by design;
+# the exact path for bounded ints is nchars_quantiles / IntHistogram)
+# ---------------------------------------------------------------------------
+
+def q_value_quantiles_tdigest(sf_dir: str):
+    import json as _json
+
+    from fastpasta_ray.sketches import TDigest
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        val = b["value"].to_numpy(zero_copy_only=False)
+        rows = {"event_type": [], "digest": []}
+        for t in np.unique(et):
+            td = TDigest()
+            td.add(val[et == t])
+            rows["event_type"].append(str(t))
+            rows["digest"].append(_json.dumps(td.to_json()))
+        return pa.table({"event_type": pa.array(rows["event_type"]), "digest": pa.array(rows["digest"])})
+
+    parts = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    merged: dict = {}
+    for t, dj in zip(parts["event_type"].to_pylist(), parts["digest"].to_pylist()):
+        td = TDigest.from_json(_json.loads(dj))
+        merged[t] = merged[t].merge(td) if t in merged else td
+    rows = {"event_type": [], "p50": [], "p99": []}
+    for t in sorted(merged):
+        rows["event_type"].append(t)
+        rows["p50"].append(round(merged[t].quantile(0.5), 4))
+        rows["p99"].append(round(merged[t].quantile(0.99), 4))
+    return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+
+QUERIES["value_quantiles_tdigest"] = q_value_quantiles_tdigest

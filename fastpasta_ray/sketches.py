@@ -189,6 +189,89 @@ class IntHistogram:
         return out / s if s else out
 
 
+class TDigest:
+    """Mergeable t-digest (Dunning & Ertl) for FLOAT quantiles — the scale
+    path where the domain isn't bounded ints (IntHistogram stays the exact
+    choice for n_tok). Simplified merging variant: buffered points are
+    sorted and clustered under the scale-function size bound k1(q).
+    Accuracy concentrates at the tails, ~0.5–2% mid-quantile error at
+    delta=100."""
+
+    __slots__ = ("delta", "means", "weights", "_buf")
+
+    def __init__(self, delta: int = 100, means=None, weights=None):
+        self.delta = delta
+        self.means = np.asarray(means if means is not None else [], dtype=np.float64)
+        self.weights = np.asarray(weights if weights is not None else [], dtype=np.float64)
+        self._buf: list[np.ndarray] = []
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v):
+            self._buf.append((v, np.ones(len(v))))
+        if sum(len(b) for b, _ in self._buf) > 32 * self.delta:
+            self._compress()
+
+    def _compress(self) -> None:
+        parts_p = ([self.means] if len(self.means) else []) + [b for b, _ in self._buf]
+        parts_w = ([self.weights] if len(self.weights) else []) + [w for _, w in self._buf]
+        self._buf = []
+        if not parts_p:
+            return
+        pts = np.concatenate(parts_p)
+        wts = np.concatenate(parts_w)
+        if len(pts) == 0:
+            return
+        order = np.argsort(pts, kind="mergesort")
+        pts, wts = pts[order], wts[order]
+        total = wts.sum()
+        means, weights = [], []
+        cm, cw, q0 = pts[0] * wts[0], wts[0], 0.0
+        for x, w in zip(pts[1:], wts[1:]):
+            q = q0 + (cw + w / 2) / total
+            limit = 4 * total * self.delta ** -1 * q * (1 - q) + 1
+            if cw + w <= limit:
+                cm += x * w
+                cw += w
+            else:
+                means.append(cm / cw)
+                weights.append(cw)
+                q0 += cw / total
+                cm, cw = x * w, w
+        means.append(cm / cw)
+        weights.append(cw)
+        self.means = np.asarray(means)
+        self.weights = np.asarray(weights)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        other._compress()
+        if len(other.means):
+            self._buf.append((other.means.copy(), other.weights.copy()))
+        self._compress()
+        return self
+
+    def quantile(self, q: float) -> float | None:
+        self._compress()
+        if len(self.means) == 0:
+            return None
+        cum = np.cumsum(self.weights) - self.weights / 2
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+    def to_json(self) -> dict:
+        self._compress()
+        return {
+            "delta": self.delta,
+            "means": [round(float(m), 9) for m in self.means],
+            "weights": [float(w) for w in self.weights],
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "TDigest":
+        return cls(d["delta"], d["means"], d["weights"])
+
+
 class Counter:
     """String-keyed counter (source histogram, violation-by-code counts)."""
 

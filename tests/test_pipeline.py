@@ -222,3 +222,31 @@ def test_small_input_empty_buckets(tmp_path):
     res = run_check(d)  # key checks on by default, 64 buckets > 30 rows
     assert not res.any_errors
     assert res.report["total_rows"] == 30
+
+
+def test_key_checks_dataset_equivalent(tmp_path):
+    """The Dataset-native key-check variant produces the same violations as
+    the raw-task exchange (it exists as the single-execution alternative;
+    see key_checks.py docstrings for the measured tradeoff)."""
+    from fastpasta_ray.checks.key_checks import key_checks, key_checks_dataset
+    from fastpasta_ray.sources.parquet import sequence_files
+
+    d = str(tmp_path / "fix")
+    write_fixture(d, SynthSpec(n_rows=300, n_parts=2), defect="bad_dup_doc_id", defect_k=4)
+    files = sequence_files(d)
+    m = os.path.join(d, "_manifest.parquet")
+    raw = key_checks(files, m)
+    via_ds = (
+        key_checks_dataset(files, m)
+        .to_pandas()
+        .sort_values(["part", "row_index", "code", "doc_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    raw_df = (
+        raw.to_pandas()
+        .sort_values(["part", "row_index", "code", "doc_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(raw_df, via_ds, check_dtype=False)

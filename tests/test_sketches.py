@@ -112,3 +112,30 @@ def test_psi_ks_basics():
     assert psi(p, q) > 0.2
     assert ks(p, p) < 1e-12
     assert 0 < ks(p, q) <= 1
+
+
+def test_tdigest_accuracy_merge_serde():
+    import json as _json
+
+    from fastpasta_ray.sketches import TDigest
+
+    rng = np.random.default_rng(1)
+    vals = rng.lognormal(3, 1, size=50_000)
+    td = TDigest()
+    td.add(vals)
+    for q in (0.01, 0.5, 0.99):
+        est, exact = td.quantile(q), float(np.quantile(vals, q))
+        assert abs(est - exact) / exact < 0.02, q
+    # merged partials approximate the whole
+    parts = [TDigest() for _ in range(8)]
+    for i, p in enumerate(parts):
+        p.add(vals[i::8])
+    m = parts[0]
+    for p in parts[1:]:
+        m.merge(p)
+    assert abs(m.quantile(0.5) - np.quantile(vals, 0.5)) / np.quantile(vals, 0.5) < 0.02
+    # serde round-trip
+    t2 = TDigest.from_json(_json.loads(_json.dumps(td.to_json())))
+    assert abs(t2.quantile(0.5) - td.quantile(0.5)) < 1e-6
+    # empty digest
+    assert TDigest().quantile(0.5) is None
