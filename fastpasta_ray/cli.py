@@ -56,8 +56,9 @@ def cmd_check(args) -> int:
 
     profile = None
     if args.input_stats:
-        with open(args.input_stats) as f:
-            profile = json.load(f)
+        from fastpasta_ray.pipelines.check import load_stats_profile
+
+        profile = load_stats_profile(args.input_stats)
     if args.checks_config:
         from fastpasta_ray.checks.registry import load_config
 
@@ -95,7 +96,7 @@ def cmd_check(args) -> int:
     for m in rep["custom_check_messages"]:
         print(m)
     if args.output_stats:
-        write_stats(rep, args.output_stats)
+        write_stats(res, args.output_stats)
         print(f"stats written to {args.output_stats}")
     if args.output_violations:
         from fastpasta_ray.pipelines.check import write_violations

@@ -48,6 +48,7 @@ class CheckResult:
     stats_by_part: dict[str, PartStats]
     report: dict
     drift_metrics: dict
+    profile: dict | None = None   # merged reference-profile (snapshot format)
 
     @property
     def any_errors(self) -> bool:  # exit-code analog (init.rs:54)
@@ -112,12 +113,12 @@ def run_check(
         files_todo = files
 
     # ---- pass 1 (payload scan) then pass 2 (raw-task key-check exchange)
-    # SEQUENTIALLY. Alternatives measured and rejected: (a) driver-thread
-    # overlap of the raw exchange against the running Dataset thrashes the
-    # scheduler (8s → 54s on a 5M-row fixture); (b) expressing the exchange
-    # as a Dataset groupby unioned into the same execution pays the sort
-    # shuffle's per-block constant costs (4.3s → 14.5s at 8 cpus). Each
-    # sequential pass saturates the cluster on its own.
+    # SEQUENTIALLY. Alternatives measured (idle box) and rejected:
+    # (a) driver-thread overlap wins slightly at bench scale (2.74→2.05s)
+    # but LOSES at 5M rows (4.39→6.24s) — each pass saturates the machine
+    # alone, overlap just adds contention; (b) the exchange as a Dataset
+    # groupby unioned into one execution pays the sort shuffle's per-block
+    # constant costs (4.3s → 14.5s at 8 cpus). See BASELINE.md.
     if files_todo:
         out = file_dataset(files_todo).map_batches(
             ValidateFiles(cfg, reference_profile),
@@ -161,9 +162,9 @@ def run_check(
         )
 
     # ---- report (stats_report.rs analog) ---------------------------------
-    report = make_report(violations, stats_by_part, cfg, reference_profile)
+    report, profile = make_report(violations, stats_by_part, cfg, reference_profile)
 
-    return CheckResult(violations, stats_by_part, report, drift_metrics)
+    return CheckResult(violations, stats_by_part, report, drift_metrics, profile)
 
 
 def make_report(
@@ -171,9 +172,10 @@ def make_report(
     stats_by_part: dict[str, PartStats],
     cfg: CheckConfig,
     reference_profile: dict | None,
-) -> dict:
+) -> tuple[dict, dict]:
     """Final summary dict — the reference's report table
-    (stats_report.rs:16-64) as data, not formatting."""
+    (stats_report.rs:16-64) as data, not formatting — plus the merged
+    profile (the comparable stats-snapshot object)."""
     by_code: dict[str, int] = {}
     if violations.num_rows:
         vc = violations.group_by("code").aggregate([("code", "count")])
@@ -210,7 +212,7 @@ def make_report(
         "custom_check_messages": extra_msgs,
         "any_errors": violations.num_rows > 0 or bool(extra_msgs),
     }
-    return report
+    return report, profile
 
 
 def error_display_lines(violations: pa.Table, limit: int | None = None) -> list[str]:
@@ -227,10 +229,25 @@ def error_display_lines(violations: pa.Table, limit: int | None = None) -> list[
     ]
 
 
-def write_stats(report: dict, path: str) -> None:
-    """JSON stats snapshot sink (StatsCollector::write_stats analog)."""
+def write_stats(result, path: str) -> None:
+    """JSON stats snapshot sink (StatsCollector::write_stats analog).
+
+    Accepts a CheckResult (writes {"report", "profile"} — the profile is
+    the object a later run compares against via --input-stats) or a plain
+    dict (written as-is)."""
+    if isinstance(result, CheckResult):
+        payload = {"report": result.report, "profile": result.profile}
+    else:
+        payload = result
     with open(path, "w") as f:
-        json.dump(report, f, indent=2, sort_keys=True)
+        json.dump(payload, f, indent=2, sort_keys=True)
+
+
+def load_stats_profile(path: str) -> dict:
+    """Read a snapshot written by write_stats (or a bare profile dict)."""
+    with open(path) as f:
+        d = json.load(f)
+    return d.get("profile", d)
 
 
 def write_violations(violations: pa.Table, out_dir: str) -> list[str]:

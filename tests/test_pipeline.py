@@ -250,3 +250,21 @@ def test_key_checks_dataset_equivalent(tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(raw_df, via_ds, check_dtype=False)
+
+
+def test_cli_stats_snapshot_roundtrip(tmp_path):
+    """check --output-stats s.json then check --input-stats s.json on the
+    SAME data → zero drift violations (the reference's CI round-trip,
+    README.md:191-198). Regression: the snapshot used to contain only the
+    report, not the comparable profile."""
+    from fastpasta_ray.pipelines.check import load_stats_profile, write_stats
+
+    d = str(tmp_path / "fix")
+    write_fixture(d, SynthSpec(n_rows=200, n_parts=2), manifest=False)
+    r1 = run_check(d, with_key_checks=False)
+    path = str(tmp_path / "s.json")
+    write_stats(r1, path)
+    profile = load_stats_profile(path)
+    r2 = run_check(d, with_key_checks=False, reference_profile=profile)
+    assert not r2.any_errors
+    assert all(m["psi_n_tok"] < 0.01 for m in r2.drift_metrics.values())
