@@ -55,8 +55,12 @@ def run_grammar_checks(batch: pa.Table, g: GrammarConfig) -> pa.Table:
     row_index = batch["row_index"].combine_chunks()
     doc_id = batch["doc_id"].combine_chunks()
 
+    # clipped gather indices: rows masked out by `nonempty` (null/empty,
+    # possibly trailing) may have start == len(flat); the clip keeps the
+    # gather in bounds and np.where discards the garbage lane
+    safe_hi = max(len(flat) - 1, 0)
     if g.bos_id is not None and nonempty.any():
-        first = np.where(nonempty, flat[starts], g.bos_id)
+        first = np.where(nonempty, flat[np.minimum(starts, safe_hi)], g.bos_id)
         bad = np.flatnonzero(first != g.bos_id)
         _emit(
             out, part, row_index, doc_id, bad, S.E_GRAMMAR_BOS, "tokens",
@@ -66,7 +70,8 @@ def run_grammar_checks(batch: pa.Table, g: GrammarConfig) -> pa.Table:
             ],
         )
     if g.eos_id is not None and nonempty.any():
-        last = np.where(nonempty, flat[starts + lens - 1], g.eos_id)
+        last_idx = np.clip(starts + lens - 1, 0, safe_hi)
+        last = np.where(nonempty, flat[last_idx], g.eos_id)
         bad = np.flatnonzero(last != g.eos_id)
         _emit(
             out, part, row_index, doc_id, bad, S.E_GRAMMAR_EOS, "tokens",

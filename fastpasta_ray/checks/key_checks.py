@@ -122,7 +122,11 @@ def _bucket_candidates(g: pa.Table) -> pa.Table:
     h = g["h"].to_numpy(zero_copy_only=False)
     loc = g["loc"].to_numpy(zero_copy_only=False)
     ntok = g["n_tok"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((loc, h))  # by hash, manifest rows (loc=-1) first
+    # sort by hash, then loc (manifest rows loc=-1 first), then n_tok — the
+    # n_tok tiebreak makes the "expected" value deterministic (the minimum)
+    # even if the manifest pathologically contains duplicate doc_ids with
+    # conflicting expectations, regardless of shard arrival order
+    order = np.lexsort((ntok, loc, h))
     h, loc, ntok = h[order], loc[order], ntok[order]
     n = len(h)
     if n == 0:

@@ -48,7 +48,11 @@ class RunningState:
         prev[1:] = seq[:-1]
         prev[0] = self.last_idx if self.last_idx is not None else np.iinfo(np.int64).min
         bad = seq <= prev
-        self.last_idx = int(np.maximum.accumulate(seq)[-1])
+        # carry the IMMEDIATE predecessor (last valid index), not the max:
+        # the in-batch comparison is each-row-vs-previous-row, and the
+        # cross-batch carry must match or results would depend on where
+        # batch boundaries fall (caught by hypothesis)
+        self.last_idx = int(seq[-1])
         bad_pos = vrows[np.flatnonzero(bad)]
         if len(bad_pos) == 0:
             return S.VIOLATIONS_SCHEMA.empty_table()

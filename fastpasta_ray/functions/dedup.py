@@ -18,7 +18,6 @@ materializes the corpus on the driver.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -116,7 +115,11 @@ def _shingle_hashes_flat(texts: list[str], k: int = 5) -> tuple[np.ndarray, np.n
     buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
     # global sliding window, then drop windows that straddle doc boundaries
     if len(buf) < k:
-        return np.zeros(len(texts), dtype=np.uint64), np.arange(len(texts) + 1, dtype=np.int64) * 0
+        # every doc gets one sentinel shingle
+        return (
+            np.zeros(len(texts), dtype=np.uint64),
+            np.arange(len(texts) + 1, dtype=np.int64),
+        )
     win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(np.uint64)
     poly = np.zeros(len(win), dtype=np.uint64)
     with np.errstate(over="ignore"):

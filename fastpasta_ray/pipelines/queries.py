@@ -804,8 +804,6 @@ def q_asof_purchase_attribution(sf_dir: str):
     joined = asof_join(purchases, views, on="ts", by="user_id", right_cols=[])
     t = _to_table(joined)
     df = t.to_pandas()
-    import pandas as _pd
-
     with_view = df["ts_right"].notna()
     # exact integer microseconds on both sides (duckdb date_diff('second')
     # counts boundary crossings, not elapsed time — avoid it)

@@ -34,7 +34,7 @@ from fastpasta_ray import schema as S
 from fastpasta_ray.checks.row_checks import run_row_checks
 from fastpasta_ray.checks.running_checks import RunningState
 from fastpasta_ray.sketches import PartStats, hash_strings
-from fastpasta_ray.sources.parquet import DEFAULT_BATCH_ROWS, iter_file_batches
+from fastpasta_ray.sources.parquet import iter_file_batches
 
 
 @dataclass

@@ -1,0 +1,224 @@
+"""Property-based tests (hypothesis): the vectorized implementations must
+agree with naive per-row reference implementations on arbitrary inputs.
+
+Targets the trickiest run-length / offset arithmetic:
+- _bucket_candidates (key-check run analysis over sorted hashes)
+- IntHistogram.quantile (quantile_disc convention)
+- _shingle_hashes_flat (per-doc shingle windows over a concatenated buffer)
+- grammar checks (BOS/EOS/interior-pad rules)
+- RunningState (cross-batch monotonic scan)
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fastpasta_ray.checks.grammar import GrammarConfig, run_grammar_checks
+from fastpasta_ray.checks.key_checks import MANIFEST_LOC, _bucket_candidates
+from fastpasta_ray.checks.running_checks import RunningState
+from fastpasta_ray.functions.dedup import _shingle_hashes_flat
+from fastpasta_ray.sketches import IntHistogram
+
+
+# ---------------------------------------------------------------------------
+# _bucket_candidates vs naive dict-based reference
+# ---------------------------------------------------------------------------
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 7),            # hash (small domain to force runs)
+        st.integers(-1, 50),          # loc; -1 = manifest row
+        st.integers(0, 3),            # n_tok
+    ),
+    max_size=40,
+)
+
+
+def naive_candidates(rows):
+    """Per-key reference: dup = every seq row beyond the first (by loc),
+    orphan = seq rows of keys with no manifest row (only when ANY manifest
+    row exists), ntok = seq rows whose n_tok != the key's manifest n_tok
+    (first manifest row by insertion after sorting by loc — our contract:
+    manifest rows sort first, expected = first row of the run), empty =
+    manifest-only keys."""
+    from collections import defaultdict
+
+    byh = defaultdict(list)
+    for h, loc, ntok in rows:
+        byh[h].append((loc, ntok))
+    has_manifest = any(loc == -1 for _, locs in byh.items() for loc, _ in locs)
+    dup = set()
+    orphan = set()
+    ntok_bad = set()
+    empty = set()
+    for h, items in byh.items():
+        items = sorted(items)
+        seq = [(l, n) for l, n in items if l != -1]
+        man = [(l, n) for l, n in items if l == -1]
+        for l, n in seq[1:]:
+            dup.add((h, l))
+        if has_manifest:
+            if seq and not man:
+                for l, n in seq:
+                    orphan.add((h, l))
+            if man and seq:
+                exp = min(n for _, n in man)  # deterministic: min expectation wins
+                for l, n in seq:
+                    if n != exp:
+                        ntok_bad.add((h, l))
+            if man and not seq:
+                empty.add(h)
+    return dup, orphan, ntok_bad, empty
+
+
+@settings(max_examples=200, deadline=None)
+@given(rows_strategy)
+def test_bucket_candidates_match_naive(rows):
+    # dedupe (h, loc) pairs for seq rows: identical locs are physically
+    # impossible (loc encodes file+row); keep first occurrence
+    seen = set()
+    uniq = []
+    for h, loc, ntok in rows:
+        if loc != -1:
+            if (h, loc) in seen:
+                continue
+            seen.add((h, loc))
+        uniq.append((h, loc, ntok))
+    rows = uniq
+    t = pa.table(
+        {
+            "h": pa.array([np.uint64(r[0]) for r in rows], type=pa.uint64()),
+            "loc": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_tok": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+    out = _bucket_candidates(t)
+    got = {
+        1: set(),  # dup
+        2: set(),  # orphan
+        3: set(),  # ntok
+        4: set(),  # empty
+    }
+    for h, loc, cand in zip(
+        out["h"].to_pylist(), out["loc"].to_pylist(), out["cand"].to_pylist()
+    ):
+        got[cand].add((h, loc) if cand != 4 else h)
+    dup, orphan, ntok_bad, empty = naive_candidates(rows)
+    assert got[1] == dup
+    assert got[2] == orphan
+    assert got[3] == ntok_bad
+    assert got[4] == empty
+
+
+# ---------------------------------------------------------------------------
+# IntHistogram.quantile == quantile_disc convention on arbitrary multisets
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 100), min_size=1, max_size=200),
+       st.sampled_from([0.01, 0.25, 0.5, 0.75, 0.99, 1.0]))
+def test_int_histogram_quantile_matches_sorted_index(vals, q):
+    import math
+
+    h = IntHistogram()
+    h.add(np.array(vals))
+    s = sorted(vals)
+    expect = s[max(0, min(len(s) - 1, math.ceil(q * len(s)) - 1))]
+    assert h.quantile(q) == expect
+
+
+# ---------------------------------------------------------------------------
+# _shingle_hashes_flat: per-doc segments equal per-doc computation
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=30), min_size=1, max_size=8))
+def test_shingle_flat_segments_match_per_doc(texts):
+    k = 5
+    flat, offsets = _shingle_hashes_flat(texts, k)
+    assert len(offsets) == len(texts) + 1
+    assert offsets[-1] == len(flat)
+    for i, t in enumerate(texts):
+        seg = flat[offsets[i] : offsets[i + 1]]
+        b = t.encode("utf-8")
+        if len(b) >= k:
+            # n_shingles = len - k + 1 and each shingle hash must equal the
+            # single-doc computation
+            solo, so = _shingle_hashes_flat([t], k)
+            assert len(seg) == len(b) - k + 1
+            assert np.array_equal(seg, solo)
+        else:
+            assert len(seg) == 1  # short-doc sentinel shingle
+
+
+# ---------------------------------------------------------------------------
+# grammar checks vs naive row loop
+# ---------------------------------------------------------------------------
+
+tokens_strategy = st.lists(
+    st.one_of(st.none(), st.lists(st.integers(0, 9), max_size=6)), min_size=1, max_size=20
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(tokens_strategy)
+def test_grammar_matches_naive(token_rows):
+    BOS, EOS, PAD = 1, 2, 0
+    n = len(token_rows)
+    batch = pa.table(
+        {
+            "part": pa.array(["p"] * n),
+            "row_index": pa.array(range(n), type=pa.int64()),
+            "doc_id": pa.array([f"d{i}" for i in range(n)]),
+            "tokens": pa.array(token_rows, type=pa.list_(pa.int32())),
+        }
+    )
+    out = run_grammar_checks(batch, GrammarConfig(BOS, EOS, PAD))
+    got = {(r, c) for r, c in zip(out["row_index"].to_pylist(), out["code"].to_pylist())}
+    expect = set()
+    for i, toks in enumerate(token_rows):
+        if toks is None or len(toks) == 0:
+            continue
+        if toks[0] != BOS:
+            expect.add((i, "E30"))
+        if toks[-1] != EOS:
+            expect.add((i, "E50"))
+        # interior pad: a PAD strictly before the last non-pad token
+        nonpad = [j for j, t in enumerate(toks) if t != PAD]
+        if nonpad:
+            last_nonpad = nonpad[-1]
+            if any(t == PAD for t in toks[:last_nonpad]):
+                expect.add((i, "E60"))
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# RunningState vs naive scan (across arbitrary batch splits)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 20), min_size=1, max_size=30), st.integers(1, 5))
+def test_running_state_matches_naive(indices, split):
+    ids = [f"src/0000/{i:08d}" for i in indices]
+    naive = set()
+    last = None
+    for pos, i in enumerate(indices):
+        if last is not None and i <= last:
+            naive.add(pos)
+        last = i  # immediate-predecessor semantics (batch-split invariant)
+
+    st_ = RunningState()
+    got = set()
+    for start in range(0, len(ids), split):
+        chunk = ids[start : start + split]
+        b = pa.table(
+            {
+                "part": pa.array(["p"] * len(chunk)),
+                "row_index": pa.array(range(start, start + len(chunk)), type=pa.int64()),
+                "doc_id": pa.array(chunk),
+            }
+        )
+        v = st_.check_batch(b)
+        got.update(v["row_index"].to_pylist())
+    assert got == naive
