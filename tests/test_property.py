@@ -222,3 +222,59 @@ def test_running_state_matches_naive(indices, split):
         v = st_.check_batch(b)
         got.update(v["row_index"].to_pylist())
     assert got == naive
+
+
+# ---------------------------------------------------------------------------
+# run_row_checks vs naive row loop (the core stateless pass)
+# ---------------------------------------------------------------------------
+
+row_strategy = st.tuples(
+    st.one_of(st.none(), st.sampled_from(["", "bad", "web/0000/00000007", "zz1/0001/00000002"])),
+    st.one_of(st.none(), st.lists(st.integers(-2, 12), max_size=5)),
+    st.integers(0, 6),
+    st.one_of(st.none(), st.sampled_from(["", "web", "books", "nope"])),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(row_strategy, min_size=1, max_size=25))
+def test_row_checks_match_naive(rows):
+    import re
+
+    from fastpasta_ray import schema as S
+    from fastpasta_ray.checks.row_checks import run_row_checks
+
+    VOCAB = 10
+    DOMAIN = ("web", "books")
+    batch = pa.table(
+        {
+            "part": pa.array(["p"] * len(rows)),
+            "row_index": pa.array(range(len(rows)), type=pa.int64()),
+            "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+            "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([r[2] for r in rows], type=pa.int32()),
+            "source": pa.array([r[3] for r in rows], type=pa.string()),
+        }
+    )
+    v = run_row_checks(batch, vocab=VOCAB, source_domain=DOMAIN)
+    got = {(r, c) for r, c in zip(v["row_index"].to_pylist(), v["code"].to_pylist())}
+
+    expect = set()
+    pat = re.compile(S.DOC_ID_RE)
+    for i, (did, toks, ntok, src) in enumerate(rows):
+        if toks is None:
+            expect.add((i, "E100"))
+        else:
+            if len(toks) != ntok:
+                expect.add((i, "E10"))
+            if any(t < 0 or t >= VOCAB for t in toks):
+                expect.add((i, "E70"))
+        if src is None or src == "":
+            expect.add((i, "E40"))
+        elif src not in DOMAIN:
+            expect.add((i, "E41"))
+        if did is None or did == "":
+            expect.add((i, "E13"))
+        elif not pat.match(did):
+            expect.add((i, "E12"))
+    assert got == expect
