@@ -14,6 +14,15 @@ import pyarrow as pa
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+# deterministic example generation: the driver's per-round verify must not
+# be able to fail on a never-before-seen random example — exploratory
+# (randomized) runs can be re-enabled locally with HYPOTHESIS_PROFILE=explore
+settings.register_profile("ci", derandomize=True)
+settings.register_profile("explore", derandomize=False)
+import os as _os
+
+settings.load_profile(_os.environ.get("HYPOTHESIS_PROFILE", "ci"))
+
 from fastpasta_ray.checks.grammar import GrammarConfig, run_grammar_checks
 from fastpasta_ray.checks.key_checks import MANIFEST_LOC, _bucket_candidates
 from fastpasta_ray.checks.running_checks import RunningState
