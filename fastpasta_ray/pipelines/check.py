@@ -130,7 +130,7 @@ def run_check(
     # constant costs (4.3s → 14.5s at 8 cpus). See BASELINE.md.
     if files_todo:
         out = file_dataset(files_todo).map_batches(
-            ValidateFiles(cfg, reference_profile),
+            ValidateFiles(cfg, reference_profile, checkpoint_dir=out_dir),
             batch_format="pyarrow",
             batch_size=None,
         )
@@ -150,19 +150,14 @@ def run_check(
             violations = pa.concat_tables([violations, kv_t])
 
     # ---- restore committed partitions from the checkpoint store ----------
-    if store is not None:
-        if committed:
-            v_prev, s_prev, d_prev = store.load_committed(committed)
-            violations = pa.concat_tables([violations, v_prev])
-            stats_by_part.update(s_prev)
-            drift_metrics.update(d_prev)
-        # commit pass-1 outputs only (sanity/running/grammar/drift — the
-        # per-partition verdicts); key-check violations are global
-        # (cross-partition), recomputed on every run and never committed
-        pass1_v = violations.filter(
-            pc.invert(pc.is_in(violations["code"], value_set=pa.array(list(KEY_CODES))))
-        )
-        store.commit(files_todo, pass1_v, stats_by_part, committed, drift_metrics)
+    # (new partitions were committed IN-TASK the moment each finished —
+    # see ValidateFiles — so a killed run keeps all finished partitions;
+    # key-check violations are global and never checkpointed)
+    if store is not None and committed:
+        v_prev, s_prev, d_prev = store.load_committed(committed)
+        violations = pa.concat_tables([violations, v_prev])
+        stats_by_part.update(s_prev)
+        drift_metrics.update(d_prev)
 
     # ---- sort violations by position (O2 analog: error_stats.rs:36-47) ---
     if violations.num_rows:

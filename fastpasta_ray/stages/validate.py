@@ -75,13 +75,22 @@ class ValidateFiles:
     (domain sets, config) happens once per actor in ``__init__``; each
     ``__call__`` validates whole files."""
 
-    def __init__(self, cfg: CheckConfig | None = None, reference_profile: dict | None = None):
+    def __init__(
+        self,
+        cfg: CheckConfig | None = None,
+        reference_profile: dict | None = None,
+        checkpoint_dir: str | None = None,
+    ):
         # the reference profile is broadcast ONCE with the stage (task/actor
         # init), so each partition judges its own drift locally — at 10^6
         # partitions the driver never has to hold every partition's sketches
         # just to run the drift gate
         self.cfg = cfg or CheckConfig()
         self.profile = reference_profile
+        # with a checkpoint_dir, each task commits its partition the moment
+        # the partition finishes (violations are capped → bounded in-task
+        # accumulation); a killed run keeps every finished partition
+        self.checkpoint_dir = checkpoint_dir
 
     @staticmethod
     def _schema_violation(part: str, detail: str) -> pa.Table:
@@ -110,6 +119,7 @@ class ValidateFiles:
         running = RunningState() if cfg.running_checks else None
         emitted = 0
         part = None
+        own_violations: list[pa.Table] = []  # for the in-task commit
         # --- E14: set-once schema check (G7 analog, rdh_stats.rs:41-73) —
         # every partition file must carry the run schema; a deviating file
         # fails as a partition (one violation) and is skipped, the run
@@ -191,6 +201,8 @@ class ValidateFiles:
                     if v.num_rows > room:
                         v = v.slice(0, room)
                     emitted += v.num_rows
+                    if self.checkpoint_dir is not None:
+                        own_violations.append(v)
                     yield v
             elif running is not None:
                 # keep running state advancing even when capped
@@ -211,6 +223,19 @@ class ValidateFiles:
             if dv.num_rows:
                 yield dv
             drift_metrics = dm.get(part)
+            if dv.num_rows and self.checkpoint_dir is not None:
+                own_violations.append(dv)
+        # --- commit this partition NOW (task-local, atomic) ----------------
+        if self.checkpoint_dir is not None:
+            from fastpasta_ray.state.checkpoint import CheckpointStore
+
+            store = CheckpointStore(self.checkpoint_dir)
+            pv = (
+                pa.concat_tables(own_violations)
+                if own_violations
+                else S.VIOLATIONS_SCHEMA.empty_table()
+            )
+            store.commit_part(part, path, pv, stats, drift_metrics)
         # --- one sentinel row per file carrying the serialized partials ----
         import json as _json
 

@@ -70,37 +70,36 @@ class CheckpointStore:
         v = pa.concat_tables(tables) if tables else S.VIOLATIONS_SCHEMA.empty_table()
         return v, stats, drift
 
-    def commit(
+    def commit_part(
         self,
-        files_done: list[str],
+        part: str,
+        input_path: str,
         violations: pa.Table,
-        stats_by_part: dict[str, PartStats],
-        previously_committed: dict[str, dict],
-        drift_by_part: dict[str, dict] | None = None,
+        stats: PartStats,
+        drift: dict | None,
     ) -> None:
-        """Commit each newly finished partition: violations parquet first,
-        then the atomic commit record (crash between the two → uncommitted,
-        partition reruns — idempotent)."""
-        for path in files_done:
-            part = self.part_of(path)
-            if part in previously_committed or part not in stats_by_part:
-                continue
-            pv = violations.filter(pc.equal(violations["part"], pa.scalar(part)))
-            vp = os.path.join(self.violations_dir, f"{part}.parquet")
-            tmp = vp + ".tmp"
-            pq.write_table(pv, tmp)
-            os.replace(tmp, vp)
-            rec = {
-                "part": part,
-                "input_path": os.path.abspath(path),
-                "row_count": stats_by_part[part].row_count,
-                "violation_count": pv.num_rows,
-                "stats": stats_by_part[part].to_json(),
-                "drift": (drift_by_part or {}).get(part),
-                "status": "committed",
-            }
-            rp = os.path.join(self.commits_dir, f"{part}.json")
-            tmp = rp + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(rec, f)
-            os.replace(tmp, rp)
+        """Commit ONE finished partition — called from inside the validate
+        task the moment the partition's pass completes, so a killed run
+        keeps every finished partition (the kill-resume test SIGKILLs the
+        driver mid-pass and asserts this). Violations parquet first, then
+        the atomic record: a crash between the two leaves the partition
+        uncommitted → it reruns (idempotent)."""
+        vp = os.path.join(self.violations_dir, f"{part}.parquet")
+        tmp = vp + ".tmp"
+        pq.write_table(violations, tmp)
+        os.replace(tmp, vp)
+        rec = {
+            "part": part,
+            "input_path": os.path.abspath(input_path),
+            "row_count": stats.row_count,
+            "violation_count": violations.num_rows,
+            "stats": stats.to_json(),
+            "drift": drift,
+            "status": "committed",
+        }
+        rp = os.path.join(self.commits_dir, f"{part}.json")
+        tmp = rp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, rp)
+
