@@ -1139,3 +1139,31 @@ ORACLES["q6_forecast_revenue"] = """
       AND l_quantity < 25
 """
 QUERIES["q6_forecast_revenue"] = q_q6_forecast_revenue
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling: modulo variant so the oracle computes the SAME
+# sample (the hash-based variant in functions/sampling.py is the production
+# path; this one is SQL-checkable)
+# ---------------------------------------------------------------------------
+
+def q_deterministic_sample(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(did % 10 < 3))  # deterministic 30% sample
+
+    out = (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(alias_name="n_sampled"), Sum("n_chars", alias_name="chars_sampled"))
+    )
+    return _to_table(out)
+
+
+ORACLES["deterministic_sample"] = """
+    SELECT source, COUNT(*) AS n_sampled, SUM(n_chars) AS chars_sampled
+    FROM documents WHERE doc_id % 10 < 3 GROUP BY source
+"""
+QUERIES["deterministic_sample"] = q_deterministic_sample

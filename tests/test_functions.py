@@ -178,3 +178,50 @@ def test_sessionize():
     assert len(u1) == 2
     assert list(u1["n_events"]) == [2, 1]
     assert len(out[out["user_id"] == 2]) == 1
+
+
+def test_hash_sample_deterministic_and_layout_independent():
+    from fastpasta_ray.functions.sampling import hash_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:05d}" for i in range(5000)]),
+            "v": pa.array(range(5000)),
+        }
+    )
+    a = set(hash_sample(ray.data.from_arrow(t), key_col="doc_id", num=100, denom=1000).to_pandas()["v"])
+    # different block layout → identical sample
+    b = set(
+        hash_sample(ray.data.from_arrow(t).repartition(7), key_col="doc_id", num=100, denom=1000)
+        .to_pandas()["v"]
+    )
+    assert a == b
+    assert abs(len(a) / 5000 - 0.1) < 0.02  # ~10% rate
+    # different salt → a different (independent) sample
+    c = set(
+        hash_sample(ray.data.from_arrow(t), key_col="doc_id", num=100, denom=1000, salt=7)
+        .to_pandas()["v"]
+    )
+    assert c != a
+
+
+def test_stratified_sample_rates():
+    from fastpasta_ray.functions.sampling import stratified_sample
+
+    n = 8000
+    strata = ["head" if i % 4 else "tail" for i in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:05d}" for i in range(n)]),
+            "source": pa.array(strata),
+        }
+    )
+    out = stratified_sample(
+        ray.data.from_arrow(t),
+        key_col="doc_id",
+        stratum_col="source",
+        rates={"head": 0.1, "tail": 1.0},
+    ).to_pandas()
+    vc = out["source"].value_counts()
+    assert vc.get("tail", 0) == n // 4          # keep-all stratum intact
+    assert abs(vc.get("head", 0) / (3 * n // 4) - 0.1) < 0.03
