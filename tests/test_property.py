@@ -19,6 +19,7 @@ from hypothesis import strategies as st
 # (randomized) runs can be re-enabled locally with HYPOTHESIS_PROFILE=explore
 settings.register_profile("ci", derandomize=True)
 settings.register_profile("explore", derandomize=False)
+settings.register_profile("deep", derandomize=False, max_examples=2000, deadline=None)
 import os as _os
 
 settings.load_profile(_os.environ.get("HYPOTHESIS_PROFILE", "ci"))
