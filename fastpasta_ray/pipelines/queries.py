@@ -472,7 +472,8 @@ ORACLES: dict[str, str] = {
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
     "source_histogram": """
-        SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         FROM documents GROUP BY source
     """,
@@ -906,7 +907,7 @@ def q_props_extract(sf_dir: str):
 
 ORACLES["props_extract"] = """
     SELECT event_type, COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS total_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
            MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
@@ -1163,7 +1164,8 @@ def q_deterministic_sample(sf_dir: str):
 
 
 ORACLES["deterministic_sample"] = """
-    SELECT source, COUNT(*) AS n_sampled, SUM(n_chars) AS chars_sampled
+    SELECT source, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
     FROM documents WHERE doc_id % 10 < 3 GROUP BY source
 """
 QUERIES["deterministic_sample"] = q_deterministic_sample

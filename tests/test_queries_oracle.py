@@ -25,8 +25,14 @@ def _oracle_con():
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
+        # Widen within a dtype family (the driver's hash tolerates int32 vs
+        # int64 / float32 vs float64 — verified in CORRECTNESS_r01: label_stats
+        # int32 and similarity_top10 float32 both hash-matched) but NOT across
+        # families (int64 vs HUGEINT->float64 failed 4 queries in r1).
         if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
+            df[c] = df[c].astype("float64").round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
@@ -57,7 +63,10 @@ def test_query_matches_oracle(name):
         f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
     )
     assert len(got) == len(exp), f"{name}: {len(got)} rows != {len(exp)}"
-    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=False, rtol=1e-6)
+    # check_dtype=True replicates the driver's hash gate: DuckDB HUGEINT sums
+    # land as float64 in pandas while the engine emits int64 — the values hash
+    # differently even when numerically equal (VERDICT r1 "What's wrong" #1).
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True, check_exact=False, rtol=1e-6)
 
 
 ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
