@@ -22,7 +22,9 @@ def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
     a = batch[col].combine_chunks()
     if isinstance(a, pa.ChunkedArray):
         a = a.combine_chunks()
-    flat = a.values.to_numpy(zero_copy_only=False)
+    # .flatten() honors the array's slice offset; .values would misalign
+    # rows on a zero-copy slice (latent map_groups hazard)
+    flat = a.flatten().to_numpy(zero_copy_only=False)
     n = len(a)
     return flat.reshape(n, -1).astype(np.float64)
 
@@ -101,10 +103,23 @@ def build_ivf_centroids(
     sample_rows: int = 2048,
     iters: int = 5,
     seed: int = 42,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic mini k-means on a driver-side sample (the index-build
-    step; at scale this is a sampled read, not a full materialization)."""
-    sample = ds.limit(sample_rows).take_all()
+    step; at scale this is a sampled read, not a full materialization).
+
+    The sample is a deterministic HASH sample spanning every block — a
+    ``limit(n)`` would take the first file's rows only and produce
+    garbage centroids at scale (layout-biased)."""
+    from fastpasta_ray.functions.sampling import hash_sample
+
+    n_total = ds.count()
+    # rate chosen so the expected sample ≈ sample_rows; floor at full data
+    denom = 1_000_000
+    num = denom if n_total <= sample_rows else int(denom * sample_rows / n_total)
+    sample = hash_sample(ds, key_col=id_col, num=max(num, 1), denom=denom).take_all()
+    if len(sample) < n_centroids:  # tiny corpora: fall back to everything
+        sample = ds.take_all()
     m = _normalize(np.asarray([r[emb_col] for r in sample], dtype=np.float64))
     rng = np.random.default_rng(seed)
     cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
@@ -155,9 +170,18 @@ def embedding_near_dup_pairs(
     cosine verify within buckets. One shuffle over (id, sig, embedding)."""
 
     def verify(g: pa.Table) -> pa.Table:
-        m = _normalize(_emb_matrix(g, emb_col))
         ids = g[id_col].to_numpy(zero_copy_only=False)
         if len(ids) < 2 or len(ids) > 2000:
+            if len(ids) > 2000:
+                # no-silent-caps rule: an oversized bucket (degenerate
+                # hyperplane cell) is dropped OBSERVABLY, not silently
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "embedding_near_dup_pairs: dropping bucket sig=%s with %d "
+                    "vectors (> 2000 cap, %d implied pairs)",
+                    g["sig"][0].as_py(), len(ids), len(ids) * (len(ids) - 1) // 2,
+                )
             return pa.table(
                 {
                     "vec_a": pa.array([], type=pa.int64()),
@@ -165,6 +189,7 @@ def embedding_near_dup_pairs(
                     "cosine": pa.array([], type=pa.float64()),
                 }
             )
+        m = _normalize(_emb_matrix(g, emb_col))
         sims = m @ m.T
         iu = np.triu_indices(len(ids), k=1)
         hit = sims[iu] >= threshold
@@ -197,9 +222,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> pa.Table:
-    """IVF search: assign rows to centroid buckets (map_batches, centroids
-    broadcast), scan only the n_probe buckets nearest the query."""
-    cent = build_ivf_centroids(ds, n_centroids, emb_col)
+    """Approximate IVF search: assign rows to centroid buckets (map_batches,
+    centroids broadcast), scan only the n_probe buckets nearest the query.
+    Recall depends on how clustered the corpus is; for the EXACT variant
+    (prunes clusters by angular bound instead of a fixed probe count) see
+    ``ivf_topk_exact``."""
+    cent = build_ivf_centroids(ds, n_centroids, emb_col, id_col=id_col)
     cent_ref = ray.put(cent)
     qn = _normalize(np.atleast_2d(np.asarray(query, dtype=np.float64)))
     probe = set(np.argsort(-(qn @ cent.T)[0])[:n_probe].tolist())
@@ -216,3 +244,97 @@ def ivf_topk(
 
     filtered = ds.map_batches(AssignFilter, batch_format="pyarrow", concurrency=2)
     return cosine_topk(filtered, query, k, id_col=id_col, emb_col=emb_col)
+
+
+def cluster_radii(
+    ds: "ray.data.Dataset", cent: np.ndarray, emb_col: str = "embedding"
+) -> np.ndarray:
+    """Per-cluster max angle (radians) of any member to its centroid —
+    one vectorized pass, per-batch partial maxima merged on the driver."""
+    cent_ref = ray.put(cent)
+    n_c = len(cent)
+
+    class PartialRadii:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_emb_matrix(batch, emb_col))
+            sims = m @ self.cent.T
+            assign = sims.argmax(axis=1)
+            ang = np.arccos(np.clip(sims[np.arange(len(m)), assign], -1.0, 1.0))
+            r = np.zeros(n_c)
+            np.maximum.at(r, assign, ang)
+            return pa.table({"radii": pa.array([r.tolist()], type=pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(PartialRadii, batch_format="pyarrow", concurrency=2)
+    r = np.zeros(n_c)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for row in b["radii"].to_pylist():
+            r = np.maximum(r, np.asarray(row))
+    return r
+
+
+def ivf_topk_exact(
+    ds: "ray.data.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int | None = 4,
+) -> pa.Table:
+    """EXACT IVF search via triangle-inequality pruning: any vector in
+    cluster c has cosine(q, v) <= cos(max(theta_qc - radius_c, 0)). Scan
+    the best-bounded clusters first, then widen to every cluster whose
+    bound can still beat the current kth-best score; the result equals
+    brute force (oracle: similarity_top10's SQL). On a well-clustered
+    corpus the second wave prunes most of the data; on an unclustered one
+    it degrades gracefully to a full scan — never to a wrong answer."""
+    cent = build_ivf_centroids(ds, n_centroids, emb_col, id_col=id_col)
+    radii = cluster_radii(ds, cent, emb_col)
+    qn = _normalize(np.atleast_2d(np.asarray(query, dtype=np.float64)))
+    theta_q = np.arccos(np.clip((qn @ cent.T)[0], -1.0, 1.0))
+    bound = np.cos(np.maximum(theta_q - radii, 0.0))
+    order = np.argsort(-bound)
+    first_wave = set(order[: max(1, n_centroids // 4)].tolist())
+
+    cent_ref = ray.put(cent)
+
+    def probe_filter(probe: set):
+        class AssignFilter:
+            def __init__(self):
+                self.cent = ray.get(cent_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                m = _normalize(_emb_matrix(batch, emb_col))
+                assign = (m @ self.cent.T).argmax(axis=1)
+                return batch.filter(pa.array(np.isin(assign, list(probe))))
+
+        return AssignFilter
+
+    t1 = cosine_topk(
+        ds.map_batches(probe_filter(first_wave), batch_format="pyarrow", concurrency=2),
+        query, k, id_col=id_col, emb_col=emb_col, round_to=None,
+    )
+    # fewer than k hits in the first wave → every cluster may contribute
+    kth = float(t1["cosine"][t1.num_rows - 1].as_py()) if t1.num_rows >= k else -1.0
+    second_wave = {
+        int(c) for c in range(len(cent))
+        if c not in first_wave and bound[c] >= kth - 1e-12
+    }
+    if second_wave:
+        t2 = cosine_topk(
+            ds.map_batches(probe_filter(second_wave), batch_format="pyarrow", concurrency=2),
+            query, k, id_col=id_col, emb_col=emb_col, round_to=None,
+        )
+        both = pa.concat_tables([t1, t2])
+    else:
+        both = t1
+    df = both.to_pandas().sort_values(
+        ["cosine", id_col], ascending=[False, True], kind="mergesort"
+    ).head(k).reset_index(drop=True)
+    if round_to is not None:
+        df["cosine"] = df["cosine"].round(round_to)
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -437,24 +437,41 @@ def q_lang_id(sf_dir: str):
 
 
 def q_hll_distinct_users(sf_dir: str):
+    """HLL estimate judged against the exact distinct count (both computed
+    by the engine; the oracle recomputes the exact count and asserts the
+    2% accuracy bound as a checkable column)."""
     from fastpasta_ray.sketches import HyperLogLog, splitmix64
 
     ds = _rp(sf_dir, "events", ["user_id"])
 
     def partial(b: pa.Table) -> pa.Table:
+        u = np.unique(b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
         h = HyperLogLog()
-        h.add_hashes(splitmix64(b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)))
-        return pa.table({"state": pa.array([h.to_json()["registers"]], type=pa.string())})
+        h.add_hashes(splitmix64(u))
+        return pa.table(
+            {
+                "state": pa.array([h.to_json()["registers"]], type=pa.string()),
+                "uniq": pa.array([u.astype(np.int64)], type=pa.list_(pa.int64())),
+            }
+        )
 
     import base64
 
     merged = HyperLogLog()
-    for row in _to_table(ds.map_batches(partial, batch_format="pyarrow"))["state"].to_pylist():
+    exact: set = set()
+    parts = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    for row, uniq in zip(parts["state"].to_pylist(), parts["uniq"].to_pylist()):
         merged.merge(
             HyperLogLog(14, np.frombuffer(base64.b64decode(row), dtype=np.uint8).copy())
         )
+        exact.update(uniq)
+    est = merged.estimate()
+    ok = abs(est - len(exact)) <= 0.02 * max(len(exact), 1)
     return pa.table(
-        {"distinct_users_estimate": pa.array([round(merged.estimate(), 1)], type=pa.float64())}
+        {
+            "distinct_users_exact": pa.array([len(exact)], type=pa.int64()),
+            "hll_within_2pct": pa.array([bool(ok)], type=pa.bool_()),
+        }
     )
 
 
@@ -687,12 +704,14 @@ def q_word_topk(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_ivf_similarity(sf_dir: str):
-    from fastpasta_ray.functions.similarity import ivf_topk
+    """Exact IVF (angular-bound cluster pruning) — result equals brute
+    force, so it shares similarity_top10's SQL oracle."""
+    from fastpasta_ray.functions.similarity import ivf_topk_exact
 
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = _to_table(emb.filter(lambda r: r["vec_id"] == 0))["embedding"].to_pylist()[0]
     rest = emb.filter(lambda r: r["vec_id"] != 0)
-    return ivf_topk(rest, np.asarray(q), k=10).select(["vec_id", "cosine"])
+    return ivf_topk_exact(rest, np.asarray(q), k=10).select(["vec_id", "cosine"])
 
 
 def q_embedding_neardups(sf_dir: str):
@@ -1069,6 +1088,10 @@ QUERIES["q5_local_supplier_volume"] = q_q5_local_supplier_volume
 # ---------------------------------------------------------------------------
 
 def q_value_quantiles_tdigest(sf_dir: str):
+    """Exact grouped float quantiles (per-group map_groups; values of one
+    group must fit a task — documented partitioning assumption) PLUS the
+    mergeable TDigest estimate judged against them as checkable tolerance
+    columns. Oracle: DuckDB quantile_cont + TRUE for the tolerance bits."""
     import json as _json
 
     from fastpasta_ray.sketches import TDigest
@@ -1086,17 +1109,61 @@ def q_value_quantiles_tdigest(sf_dir: str):
             rows["digest"].append(_json.dumps(td.to_json()))
         return pa.table({"event_type": pa.array(rows["event_type"]), "digest": pa.array(rows["digest"])})
 
+    def exact_q(g: pa.Table) -> pa.Table:
+        v = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "event_type": pa.array([g["event_type"][0].as_py()]),
+                "p50": pa.array([float(np.quantile(v, 0.5))]),
+                "p99": pa.array([float(np.quantile(v, 0.99))]),
+            }
+        )
+
     parts = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    exact = _to_table(ds.groupby("event_type").map_groups(exact_q, batch_format="pyarrow"))
     merged: dict = {}
     for t, dj in zip(parts["event_type"].to_pylist(), parts["digest"].to_pylist()):
         td = TDigest.from_json(_json.loads(dj))
         merged[t] = merged[t].merge(td) if t in merged else td
-    rows = {"event_type": [], "p50": [], "p99": []}
+    ex = {r["event_type"]: r for r in exact.to_pylist()}
+    # judge the tdigest by RANK error (the sketch's actual guarantee: the
+    # estimate's empirical CDF position within 0.01 of q; value-space tail
+    # error is unbounded by between-sample gaps) — broadcast the estimates,
+    # one vectorized counting pass, driver merge of partial counts
+    ests = {t: (merged[t].quantile(0.5), merged[t].quantile(0.99)) for t in merged}
+
+    def rank_counts(b: pa.Table) -> pa.Table:
+        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        val = b["value"].to_numpy(zero_copy_only=False)
+        rows = {"event_type": [], "n": [], "le50": [], "le99": []}
+        for t in np.unique(et):
+            m = et == t
+            e50, e99 = ests[str(t)]
+            rows["event_type"].append(str(t))
+            rows["n"].append(int(m.sum()))
+            rows["le50"].append(int((val[m] <= e50).sum()))
+            rows["le99"].append(int((val[m] <= e99).sum()))
+        return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+    rc = _to_table(ds.map_batches(rank_counts, batch_format="pyarrow")).to_pandas()
+    rc = rc.groupby("event_type")[["n", "le50", "le99"]].sum()
+    rows = {"event_type": [], "p50": [], "p99": [], "td_p50_ok": [], "td_p99_ok": []}
     for t in sorted(merged):
+        n = max(int(rc.loc[t, "n"]), 1)
         rows["event_type"].append(t)
-        rows["p50"].append(round(merged[t].quantile(0.5), 4))
-        rows["p99"].append(round(merged[t].quantile(0.99), 4))
-    return pa.table({k: pa.array(v) for k, v in rows.items()})
+        rows["p50"].append(round(ex[t]["p50"], 4))
+        rows["p99"].append(round(ex[t]["p99"], 4))
+        rows["td_p50_ok"].append(bool(abs(rc.loc[t, "le50"] / n - 0.5) <= 0.01))
+        rows["td_p99_ok"].append(bool(abs(rc.loc[t, "le99"] / n - 0.99) <= 0.01))
+    return pa.table(
+        {
+            "event_type": pa.array(rows["event_type"]),
+            "p50": pa.array(rows["p50"], type=pa.float64()),
+            "p99": pa.array(rows["p99"], type=pa.float64()),
+            "td_p50_ok": pa.array(rows["td_p50_ok"], type=pa.bool_()),
+            "td_p99_ok": pa.array(rows["td_p99_ok"], type=pa.bool_()),
+        }
+    )
 
 
 QUERIES["value_quantiles_tdigest"] = q_value_quantiles_tdigest
@@ -1130,6 +1197,49 @@ def q_q6_forecast_revenue(sf_dir: str):
     total = float(pc.sum(parts["partial"]).as_py() or 0.0) if parts is not None else 0.0
     return pa.table({"revenue": pa.array([round(total, 2)])})
 
+
+ORACLES["lang_id"] = """
+    WITH c AS (
+        SELECT doc_id, lang,
+            len(regexp_extract_all(text, '(?i)\\b(?:the|of|and|to|in|is|that|it|for|was)\\b')) AS c_en,
+            len(regexp_extract_all(text, '(?i)\\b(?:der|die|und|das|ist|nicht|ein|mit|von|zu)\\b')) AS c_de,
+            len(regexp_extract_all(text, '(?i)\\b(?:le|la|les|et|de|un|une|est|que|pour)\\b')) AS c_fr,
+            len(regexp_extract_all(text, '(?i)\\b(?:el|la|los|las|y|de|un|una|es|que)\\b')) AS c_es,
+            len(regexp_extract_all(text, '(?:的|是|了|在|我|有|和|不|人|这)')) AS c_zh
+        FROM documents)
+    SELECT doc_id, lang,
+        CASE WHEN greatest(c_en, c_de, c_fr, c_es, c_zh) = 0 THEN 'unknown'
+             WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+             WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+             WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+             WHEN c_es >= c_zh THEN 'es'
+             ELSE 'zh' END AS lang_pred
+    FROM c
+"""
+
+ORACLES["hll_distinct_users"] = """
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users_exact,
+           TRUE AS hll_within_2pct
+    FROM events
+"""
+
+ORACLES["value_quantiles_tdigest"] = """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99,
+           TRUE AS td_p50_ok,
+           TRUE AS td_p99_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLES["ivf_similarity"] = ORACLES["similarity_top10"]
+
+ORACLES["embedding_neardups"] = """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+"""
 
 ORACLES["q6_forecast_revenue"] = """
     SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
