@@ -394,36 +394,37 @@ def q_similarity_top10(sf_dir: str):
 # fingerprints, HLL distinct estimate, IVF similarity
 # ---------------------------------------------------------------------------
 
+_EMPTY_JACCARD = pa.table(
+    {
+        "doc_a": pa.array([], type=pa.int64()),
+        "doc_b": pa.array([], type=pa.int64()),
+        "jaccard": pa.array([], type=pa.float64()),
+    }
+)
+
+
 def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH candidates verified by EXACT word-3gram Jaccard ≥ 0.5 —
+    the SQL oracle computes the identical value via a DISTINCT-shingle
+    self-join (bimodal corpus: planted near-dups ≥0.88, background <0.3,
+    so LSH recall at this threshold is total)."""
     from fastpasta_ray.functions.dedup import minhash_lsh_pairs
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=16)
     t = _to_table(minhash_lsh_pairs(ds, threshold=0.5))
-    if t is None:
-        return pa.table(
-            {
-                "doc_a": pa.array([], type=pa.int64()),
-                "doc_b": pa.array([], type=pa.int64()),
-                "max(est_jaccard)": pa.array([], type=pa.float64()),
-            }
-        )
-    return t
+    return t if t is not None else _EMPTY_JACCARD
 
 
 def q_simhash_pairs(sf_dir: str):
-    from fastpasta_ray.functions.dedup import simhash_near_dups
+    """SimHash candidates (Hamming ≤ 6 guaranteed by 8-block combo keys)
+    verified by EXACT word-3gram Jaccard ≥ 0.8 — same SQL oracle shape as
+    minhash_pairs at a stricter threshold."""
+    from fastpasta_ray.functions.dedup import exact_jaccard_verify, simhash_near_dups
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=16)
-    t = _to_table(simhash_near_dups(ds))
-    if t is None:
-        return pa.table(
-            {
-                "doc_a": pa.array([], type=pa.int64()),
-                "doc_b": pa.array([], type=pa.int64()),
-                "min(hamming)": pa.array([], type=pa.int64()),
-            }
-        )
-    return t
+    cand = simhash_near_dups(ds).select_columns(["doc_a", "doc_b"])
+    t = _to_table(exact_jaccard_verify(cand, ds, threshold=0.8))
+    return t if t is not None else _EMPTY_JACCARD
 
 
 def q_lang_id(sf_dir: str):
@@ -1197,6 +1198,25 @@ def q_q6_forecast_revenue(sf_dir: str):
     total = float(pc.sum(parts["partial"]).as_py() or 0.0) if parts is not None else 0.0
     return pa.table({"revenue": pa.array([round(total, 2)])})
 
+
+_JACCARD_ORACLE = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+          FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+    gu AS (SELECT DISTINCT doc_id, sh FROM g),
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM gu GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM gu a JOIN gu b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT da AS doc_a, db AS doc_b,
+           ROUND(i * 1.0 / (ca.c + cb.c - i), 4) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+    WHERE i * 1.0 / (ca.c + cb.c - i) >= {thr}
+"""
+
+ORACLES["minhash_pairs"] = _JACCARD_ORACLE.format(thr=0.5)
+ORACLES["simhash_pairs"] = _JACCARD_ORACLE.format(thr=0.8)
 
 ORACLES["lang_id"] = """
     WITH c AS (
