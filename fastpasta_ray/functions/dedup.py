@@ -482,10 +482,16 @@ def minhash_lsh_pairs(
                 for j in range(rows_per_band):
                     acc = acc * np.uint64(0x9E3779B97F4A7C15) + seg[:, j]
                 bh[:, b] = splitmix64(acc)
+        flat_bh = bh.reshape(-1)
+        # groupby key is a COARSE bucket, not the raw band hash: map_groups
+        # invokes its fn once per distinct key, so grouping on ~n_docs×bands
+        # distinct hashes costs one Python call per group (~5 s / 150k
+        # groups measured); bucket_pairs segments by exact band_hash inside
         return pa.table(
             {
                 id_col: pa.array(np.repeat(ids, bands)),
-                "band_hash": pa.array(bh.reshape(-1)),
+                "band_hash": pa.array(flat_bh),
+                "bucket": pa.array((flat_bh % np.uint64(64)).astype(np.int64)),
             }
         )
 
@@ -524,11 +530,22 @@ def minhash_lsh_pairs(
                     "dropped": pa.array([], type=pa.int64()),
                 }
             )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        drop = np.concatenate(out_drop)
+        # map-side pair dedup within the bucket: exact-dup clusters collide
+        # in EVERY band, inflating candidates ~bands× — unique here shrinks
+        # the verify exchange before it ships
+        real = drop == 0
+        ab = np.unique(np.stack([a[real], b[real]], axis=1), axis=0)
+        a = np.concatenate([ab[:, 0], a[~real]])
+        b = np.concatenate([ab[:, 1], b[~real]])
+        drop = np.concatenate([np.zeros(len(ab), dtype=np.int64), drop[~real]])
         return pa.table(
             {
-                "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
-                "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
-                "dropped": pa.array(np.concatenate(out_drop), type=pa.int64()),
+                "doc_a": pa.array(a, type=pa.int64()),
+                "doc_b": pa.array(b, type=pa.int64()),
+                "dropped": pa.array(drop, type=pa.int64()),
             }
         )
 
@@ -536,18 +553,27 @@ def minhash_lsh_pairs(
     # and the verify both read it without recomputation
     cand = (
         ds.map_batches(band_keys, batch_format="pyarrow", batch_size=2048)
-        .groupby("band_hash")
+        .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .materialize()
     )
-    n_dropped_docs = cand.filter(lambda r: r["dropped"] > 0).sum("dropped") or 0
+    n_dropped_docs = (
+        cand.map_batches(
+            lambda b: b.filter(pc.greater(b["dropped"], 0)).select(["dropped"]),
+            batch_format="pyarrow",
+        ).sum("dropped")
+        or 0
+    )
     if n_dropped_docs:
         logger.warning(
             "minhash_lsh_pairs: skipped oversized LSH buckets covering %d "
             "doc slots (>100-doc cap); near-dups inside them are not reported",
             n_dropped_docs,
         )
-    pairs = cand.filter(lambda r: r["doc_a"] >= 0).select_columns(["doc_a", "doc_b"])
+    pairs = cand.map_batches(
+        lambda b: b.filter(pc.equal(b["dropped"], 0)).select(["doc_a", "doc_b"]),
+        batch_format="pyarrow",
+    )
     return exact_jaccard_verify(
         pairs, ds, threshold=threshold, id_col=id_col, text_col=text_col, ngram_n=ngram_n
     )
@@ -624,10 +650,14 @@ def simhash_near_dups(
             for c, (i, j) in enumerate(_SIMHASH_COMBOS)
         ]
         n_c = len(_SIMHASH_COMBOS)
+        qk = np.concatenate(keys)
+        # coarse bucket as groupby key (one map_groups call per bucket, not
+        # per distinct qkey); verify segments by exact qkey inside
         return pa.table(
             {
                 id_col: pa.array(np.tile(ids, n_c)),
-                "qkey": pa.array(np.concatenate(keys)),
+                "qkey": pa.array(qk),
+                "bucket": pa.array((qk % np.uint64(64)).astype(np.int64)),
                 "simhash": pa.array(np.tile(h, n_c)),
             }
         )
@@ -683,7 +713,7 @@ def simhash_near_dups(
     pairs = (
         ds.map_batches(SimHasher(), batch_format="pyarrow")
         .map_batches(combo_keys, batch_format="pyarrow")
-        .groupby("qkey")
+        .groupby("bucket")
         .map_groups(verify, batch_format="pyarrow")
     )
     return pairs.groupby(["doc_a", "doc_b"]).min("hamming")

@@ -147,10 +147,13 @@ class HyperplaneHasher:
         m = _normalize(_emb_matrix(batch, self.emb_col))
         bits = (m @ self.planes) > 0
         sig = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+        # coarse groupby key (map_groups costs one Python call per distinct
+        # key); the verify segments by exact sig within the bucket
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
                 "sig": pa.array(sig),
+                "bucket": pa.array(sig % 64),
                 self.emb_col: batch[self.emb_col],
             }
         )
@@ -169,45 +172,61 @@ def embedding_near_dup_pairs(
     (near-identical vectors share all hyperplane signs w.h.p.) → exact
     cosine verify within buckets. One shuffle over (id, sig, embedding)."""
 
+    empty = pa.table(
+        {
+            "vec_a": pa.array([], type=pa.int64()),
+            "vec_b": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64()),
+        }
+    )
+
     def verify(g: pa.Table) -> pa.Table:
-        ids = g[id_col].to_numpy(zero_copy_only=False)
-        if len(ids) < 2 or len(ids) > 2000:
-            if len(ids) > 2000:
+        all_ids = g[id_col].to_numpy(zero_copy_only=False)
+        sig = g["sig"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sig, kind="stable")
+        ss = sig[order]
+        starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+        ends = np.r_[starts[1:], len(ss)]
+        outs = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            if e - s > 2000:
                 # no-silent-caps rule: an oversized bucket (degenerate
                 # hyperplane cell) is dropped OBSERVABLY, not silently
                 import logging
 
                 logging.getLogger(__name__).warning(
-                    "embedding_near_dup_pairs: dropping bucket sig=%s with %d "
+                    "embedding_near_dup_pairs: dropping bucket sig=%d with %d "
                     "vectors (> 2000 cap, %d implied pairs)",
-                    g["sig"][0].as_py(), len(ids), len(ids) * (len(ids) - 1) // 2,
+                    int(ss[s]), e - s, (e - s) * (e - s - 1) // 2,
                 )
-            return pa.table(
-                {
-                    "vec_a": pa.array([], type=pa.int64()),
-                    "vec_b": pa.array([], type=pa.int64()),
-                    "cosine": pa.array([], type=pa.float64()),
-                }
+                continue
+            idx = order[s:e]
+            sub = g.take(pa.array(idx))
+            ids = all_ids[idx]
+            m = _normalize(_emb_matrix(sub, emb_col))
+            sims = m @ m.T
+            iu = np.triu_indices(len(ids), k=1)
+            hit = sims[iu] >= threshold
+            a, b = ids[iu[0][hit]], ids[iu[1][hit]]
+            outs.append(
+                pa.table(
+                    {
+                        "vec_a": pa.array(np.minimum(a, b)),
+                        "vec_b": pa.array(np.maximum(a, b)),
+                        "cosine": pa.array(np.round(sims[iu][hit], 4)),
+                    }
+                )
             )
-        m = _normalize(_emb_matrix(g, emb_col))
-        sims = m @ m.T
-        iu = np.triu_indices(len(ids), k=1)
-        hit = sims[iu] >= threshold
-        a, b = ids[iu[0][hit]], ids[iu[1][hit]]
-        return pa.table(
-            {
-                "vec_a": pa.array(np.minimum(a, b)),
-                "vec_b": pa.array(np.maximum(a, b)),
-                "cosine": pa.array(np.round(sims[iu][hit], 4)),
-            }
-        )
+        return pa.concat_tables(outs) if outs else empty
 
     return (
         ds.map_batches(
             HyperplaneHasher(n_bits, dim, id_col=id_col, emb_col=emb_col),
             batch_format="pyarrow",
         )
-        .groupby("sig")
+        .groupby("bucket")
         .map_groups(verify, batch_format="pyarrow")
     )
 
