@@ -48,8 +48,10 @@ MANIFEST_PART = "__manifest__"
 MANIFEST_LOC = np.int64(-1)
 ROW_BITS = np.int64(40)  # row_index < 2^40 rows per partition file
 
-# candidate codes (int8 through the shuffle, mapped to codes at recovery)
-_C_DUP, _C_ORPHAN, _C_NTOK, _C_EMPTY = 1, 2, 3, 4
+# candidate codes (int8 through the shuffle, mapped to codes at recovery);
+# _C_DUPREF marks the KEPT first row of a dup run — recovered only so E80
+# rows can be string-verified against it, never emitted as a violation
+_C_DUP, _C_ORPHAN, _C_NTOK, _C_EMPTY, _C_DUPREF = 1, 2, 3, 4, 5
 _CODE_OF = {_C_DUP: S.E_DUP_DOCID, _C_ORPHAN: S.E_ORPHAN, _C_NTOK: S.E_MANIFEST_NTOK, _C_EMPTY: S.E_EMPTY_DOC}
 
 CANDIDATE_SCHEMA = pa.schema(
@@ -151,6 +153,16 @@ def _bucket_candidates(g: pa.Table) -> pa.Table:
             out_ntok.append(ntok[dup_idx])
             out_exp.append(np.full(len(dup_idx), -1, dtype=np.int64))
             out_cand.append(np.full(len(dup_idx), _C_DUP, dtype=np.int8))
+            # the kept first row of each dup run rides along as the
+            # string-verification reference (recovered, never emitted)
+            dup_runs = np.unique(run_id[dup_idx])
+            ref_idx = s_idx[first_s_of_run][
+                np.isin(run_id[s_idx[first_s_of_run]], dup_runs)
+            ]
+            out_h.append(h[ref_idx]); out_loc.append(loc[ref_idx])
+            out_ntok.append(ntok[ref_idx])
+            out_exp.append(np.full(len(ref_idx), -1, dtype=np.int64))
+            out_cand.append(np.full(len(ref_idx), _C_DUPREF, dtype=np.int8))
     has_manifest = bool(is_m.any())
     if has_manifest:
         # expected n_tok of each run = n_tok of its first row when that row
@@ -227,32 +239,48 @@ def _recover_violations(
         doc_ids[sel] = vals
         parts[sel] = part_of(files[int(p)])
     man_pos = np.flatnonzero(~seq_mask)
-    if len(man_pos):
-        assert manifest_path is not None
+    # manifest doc_ids by hash: needed both to name E701 violations and to
+    # string-verify E72 candidates against the manifest row they hashed to
+    need_manifest = len(man_pos) or bool((cand == _C_NTOK).any())
+    man_by_hash: dict[int, str] = {}
+    if need_manifest and manifest_path is not None:
         mt = pq.read_table(manifest_path, columns=["doc_id"])
         mh = hash_strings(mt["doc_id"].combine_chunks())
-        want = h[man_pos]
-        order = np.argsort(mh, kind="stable")
-        pos = np.searchsorted(mh[order], want)
-        pos = np.clip(pos, 0, len(order) - 1)
-        hit = mh[order][pos] == want
         ids = mt["doc_id"].to_pylist()
-        doc_ids[man_pos] = [ids[order[p]] if ok else None for p, ok in zip(pos, hit)]
+        man_by_hash = {int(k): ids[i] for i, k in enumerate(mh)}
+    if len(man_pos):
+        doc_ids[man_pos] = [man_by_hash.get(int(k)) for k in h[man_pos]]
         parts[man_pos] = MANIFEST_PART
+
+    # E80 string-verification references: hash → kept row's doc_id
+    ref_mask = cand == _C_DUPREF
+    dup_ref = {int(k): doc_ids[i] for i, k in zip(np.flatnonzero(ref_mask), h[ref_mask])}
 
     rows = {k: [] for k in ("part", "row_index", "doc_id", "code", "column", "message")}
     for i in range(len(loc)):
-        code = _CODE_OF[int(cand[i])]
+        c = int(cand[i])
+        if c == _C_DUPREF:
+            continue  # verification reference only
+        code = _CODE_OF[c]
         d = doc_ids[i]
         if d is None:
             continue
         if code == S.E_DUP_DOCID:
+            # exact string comparison vs the kept row — a 64-bit hash
+            # collision between distinct doc_ids is dropped here, not
+            # reported as a false duplicate
+            if dup_ref.get(int(h[i])) != d:
+                continue
             detail = f"duplicate doc_id {d!r}"
             column = "doc_id"
         elif code == S.E_ORPHAN:
             detail = f"doc_id {d!r} not in manifest"
             column = "doc_id"
         elif code == S.E_MANIFEST_NTOK:
+            # exact string comparison vs the manifest row at this hash —
+            # collisions would otherwise borrow a foreign expectation
+            if man_by_hash.get(int(h[i])) != d:
+                continue
             detail = f"n_tok {int(ntok[i])} != manifest expected {int(exp[i])}"
             column = "n_tok"
         else:  # E701

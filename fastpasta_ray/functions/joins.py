@@ -36,32 +36,46 @@ def asof_join(
 ) -> "ray.data.Dataset":
     """As-of join of two datasets on time column ``on`` within key ``by``."""
 
+    from fastpasta_ray.sketches import hash_strings, splitmix64
+
     def tag(side: str):
         def f(b: pa.Table) -> pa.Table:
-            k = b[by].to_numpy(zero_copy_only=False)
+            col = b[by]
+            if pa.types.is_integer(col.type):
+                h = splitmix64(
+                    col.to_numpy(zero_copy_only=False).astype(np.uint64)
+                )
+            else:  # string or other keys: deterministic siphash
+                h = hash_strings(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
             return b.append_column(
-                "__bucket", pa.array((k.astype(np.int64) % num_buckets).astype(np.int64))
+                "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
             ).append_column("__side", pa.array([side] * b.num_rows, type=pa.string()))
 
         return f
 
-    # union both sides into one shuffle (schemas may differ → align columns)
-    lcols = [f.name for f in left.schema().base_schema]
-    rcols = [f.name for f in right.schema().base_schema]
+    # union both sides into one shuffle (schemas may differ → align columns,
+    # padding each side's missing columns with nulls of the OTHER side's
+    # actual types — a float64 pad would break non-float columns)
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = [f.name for f in lschema]
+    rcols = [f.name for f in rschema]
+    ltypes = {f.name: f.type for f in lschema}
+    rtypes = {f.name: f.type for f in rschema}
     keep_r = right_cols or [c for c in rcols if c not in (on, by)]
 
     def widen_left(b: pa.Table) -> pa.Table:
         t = tag("l")(b)
         for c in keep_r:
             if c not in t.column_names:
-                t = t.append_column(c, pa.nulls(t.num_rows, type=pa.float64()))
+                t = t.append_column(c, pa.nulls(t.num_rows, type=rtypes[c]))
         return t
 
     def widen_right(b: pa.Table) -> pa.Table:
         t = tag("r")(b.select([by, on] + keep_r))
         for c in lcols:
             if c not in t.column_names:
-                t = t.append_column(c, pa.nulls(t.num_rows, type=pa.float64()))
+                t = t.append_column(c, pa.nulls(t.num_rows, type=ltypes[c]))
         return t
 
     lw = left.map_batches(widen_left, batch_format="pyarrow")

@@ -32,9 +32,15 @@ def sessionize(
     n_events). Vectorized gaps-and-islands per hash bucket."""
 
     def bucketize(b: pa.Table) -> pa.Table:
-        k = b[key_col].to_numpy(zero_copy_only=False)
+        from fastpasta_ray.sketches import hash_strings, splitmix64
+
+        col = b[key_col]
+        if pa.types.is_integer(col.type):
+            h = splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:  # string keys hash too (same fix as joins.asof_join)
+            h = hash_strings(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
         return b.append_column(
-            "bucket", pa.array((k.astype(np.int64) % num_buckets).astype(np.int64))
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
         )
 
     def sessions(g: pa.Table) -> pa.Table:

@@ -128,9 +128,14 @@ def run_check(
     # alone, overlap just adds contention; (b) the exchange as a Dataset
     # groupby unioned into one execution pays the sort shuffle's per-block
     # constant costs (4.3s → 14.5s at 8 cpus). See BASELINE.md.
+    budget = None
+    if cfg.max_errors_global is not None:
+        from fastpasta_ray.stages.validate import ErrorBudget
+
+        budget = ErrorBudget.remote(cfg.max_errors_global)
     if files_todo:
         out = file_dataset(files_todo).map_batches(
-            ValidateFiles(cfg, reference_profile, checkpoint_dir=out_dir),
+            ValidateFiles(cfg, reference_profile, checkpoint_dir=out_dir, error_budget=budget),
             batch_format="pyarrow",
             batch_size=None,
         )
@@ -167,6 +172,10 @@ def run_check(
 
     # ---- report (stats_report.rs analog) ---------------------------------
     report, profile = make_report(violations, stats_by_part, cfg, reference_profile)
+    if budget is not None:
+        report["stopped_early"] = bool(ray.get(budget.exceeded.remote()))
+        report["global_error_count"] = int(ray.get(budget.total.remote()))
+        ray.kill(budget)
 
     return CheckResult(violations, stats_by_part, report, drift_metrics, profile)
 
@@ -233,8 +242,49 @@ def error_display_lines(violations: pa.Table, limit: int | None = None) -> list[
     ]
 
 
+def _toml_key(k: str) -> str:
+    import re
+
+    return k if re.fullmatch(r"[A-Za-z0-9_-]+", k) else json.dumps(k)
+
+
+def _toml_value(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return json.dumps(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_toml_value(x) for x in v) + "]"
+    raise TypeError(f"unsupported TOML value: {type(v)}")
+
+
+def _toml_emit(d: dict, prefix: str, lines: list[str]) -> None:
+    scalars = {k: v for k, v in d.items() if not isinstance(v, dict) and v is not None}
+    subs = {k: v for k, v in d.items() if isinstance(v, dict)}
+    if prefix:
+        lines.append(f"[{prefix}]")
+    for k in sorted(scalars):
+        lines.append(f"{_toml_key(k)} = {_toml_value(scalars[k])}")
+    for k in sorted(subs):
+        key = _toml_key(k)
+        _toml_emit(subs[k], f"{prefix}.{key}" if prefix else key, lines)
+
+
+def dump_toml(payload: dict) -> str:
+    """Minimal TOML emitter for the snapshot shape (nested dicts, scalar
+    lists, scalars). TOML has no null — None-valued keys are omitted, the
+    documented difference from the JSON snapshot."""
+    lines: list[str] = []
+    _toml_emit(payload, "", lines)
+    return "\n".join(lines) + "\n"
+
+
 def write_stats(result, path: str) -> None:
-    """JSON stats snapshot sink (StatsCollector::write_stats analog).
+    """Stats snapshot sink (StatsCollector::write_stats analog,
+    stats_collector.rs:161-175 — the reference writes JSON *and* TOML; the
+    format here follows the file extension: ``.toml`` → TOML, else JSON).
 
     Accepts a CheckResult (writes {"report", "profile"} — the profile is
     the object a later run compares against via --input-stats) or a plain
@@ -244,13 +294,23 @@ def write_stats(result, path: str) -> None:
     else:
         payload = result
     with open(path, "w") as f:
-        json.dump(payload, f, indent=2, sort_keys=True)
+        if path.endswith(".toml"):
+            f.write(dump_toml(payload))
+        else:
+            json.dump(payload, f, indent=2, sort_keys=True)
 
 
 def load_stats_profile(path: str) -> dict:
-    """Read a snapshot written by write_stats (or a bare profile dict)."""
-    with open(path) as f:
-        d = json.load(f)
+    """Read a snapshot written by write_stats (or a bare profile dict);
+    JSON or TOML by extension."""
+    if path.endswith(".toml"):
+        import tomllib
+
+        with open(path, "rb") as f:
+            d = tomllib.load(f)
+    else:
+        with open(path) as f:
+            d = json.load(f)
     return d.get("profile", d)
 
 

@@ -30,6 +30,8 @@ from dataclasses import dataclass, field
 
 import pyarrow as pa
 
+import ray
+
 from fastpasta_ray import schema as S
 from fastpasta_ray.checks.row_checks import run_row_checks
 from fastpasta_ray.checks.running_checks import RunningState
@@ -43,8 +45,13 @@ class CheckConfig:
     source_domain: tuple = S.SOURCES
     batch_rows: int | str = "auto"   # "auto" = ~32 MiB per batch from file metadata
     max_errors_per_part: int = 10_000
+    # global error budget (max_tolerate_errors analog, controller.rs:229-246):
+    # a counter actor is incremented per finished partition and polled at
+    # partition granularity — partitions already in flight still complete,
+    # the documented divergence from the reference's per-record stop flag
+    max_errors_global: int | None = None
     running_checks: bool = True          # `check all` vs `check sanity` analog
-    enabled_codes: tuple | None = None   # None = all (error-code filter analog)
+    enabled_codes: tuple | None = None   # exact codes OR prefixes ("E9" → E9xxx)
     expected_row_count: int | None = None  # custom-checks `cdps` analog (E9001)
     drift_psi_threshold: float = 0.2
     drift_ks_threshold: float = 0.15
@@ -63,11 +70,40 @@ class CheckConfig:
 
 
 def _filter_codes(v: pa.Table, enabled: tuple | None) -> pa.Table:
+    """Error-code filter with PREFIX semantics (err_printer.rs:52-90):
+    an entry matches codes it is a prefix of — "E9" enables every E9xxx;
+    an exact code is trivially its own prefix."""
     if enabled is None or v.num_rows == 0:
         return v
     import pyarrow.compute as pc
 
-    return v.filter(pc.is_in(v["code"], value_set=pa.array(list(enabled))))
+    mask = None
+    for p in enabled:
+        m = pc.starts_with(v["code"], pattern=str(p))
+        mask = m if mask is None else pc.or_(mask, m)
+    return v.filter(mask)
+
+
+@ray.remote(num_cpus=0)
+class ErrorBudget:
+    """Global error counter (the reference's AtomicBool stop flag analog,
+    controller.rs:229-246). Tasks add their partition's violation count and
+    learn whether the budget is blown; polling is at partition granularity
+    so in-flight partitions still finish — the documented divergence."""
+
+    def __init__(self, budget: int):
+        self.budget = budget
+        self.count = 0
+
+    def add(self, n: int) -> bool:
+        self.count += n
+        return self.count > self.budget
+
+    def exceeded(self) -> bool:
+        return self.count > self.budget
+
+    def total(self) -> int:
+        return self.count
 
 
 class ValidateFiles:
@@ -80,7 +116,10 @@ class ValidateFiles:
         cfg: CheckConfig | None = None,
         reference_profile: dict | None = None,
         checkpoint_dir: str | None = None,
+        error_budget=None,
     ):
+        # handle of the global ErrorBudget actor (None = no global cap)
+        self.error_budget = error_budget
         # the reference profile is broadcast ONCE with the stage (task/actor
         # init), so each partition judges its own drift locally — at 10^6
         # partitions the driver never has to hold every partition's sketches
@@ -111,6 +150,13 @@ class ValidateFiles:
 
     def __call__(self, fd: pa.Table) -> Iterator[pa.Table]:
         for path in fd["path"].to_pylist():
+            if self.error_budget is not None and ray.get(
+                self.error_budget.exceeded.remote()
+            ):
+                # global budget blown: stop validating further partitions
+                # (in-flight ones elsewhere still finish — divergence window
+                # is one partition per worker, documented in CheckConfig)
+                return
             yield from self.validate_file(path)
 
     def validate_file(self, path: str) -> Iterator[pa.Table]:
@@ -207,7 +253,13 @@ class ValidateFiles:
             elif running is not None:
                 # keep running state advancing even when capped
                 running.check_batch(batch)
-        part = part or "?"
+        # zero-row file: derive the partition name from the path — a "?"
+        # fallback would collide commit records across empty files and
+        # rerun them on every resume (ADVICE r1)
+        part = part or _part_of(path)
+        if self.error_budget is not None and emitted:
+            # partition-granular increment of the global budget
+            self.error_budget.add.remote(emitted)
         # --- in-task drift gate vs the broadcast reference profile ---------
         drift_metrics = None
         if self.profile is not None:

@@ -251,3 +251,44 @@ def test_ivf_topk_recall_vs_brute_force():
     )
     recall = len(exact & approx) / 10
     assert recall >= 0.7, recall
+
+
+def test_asof_join_string_keys_and_typed_padding():
+    """asof_join with a STRING `by` key and non-float right columns
+    (ADVICE r1: int-only bucketing crashed on strings; float64 padding
+    broke typed columns)."""
+    import pandas as pd
+
+    from fastpasta_ray.functions.joins import asof_join
+
+    left = pa.table(
+        {
+            "user": pa.array(["a", "a", "b"], type=pa.string()),
+            "ts": pa.array(
+                pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00", "2024-01-01 10:30"])
+            ),
+            "amount": pa.array([1, 2, 3], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "user": pa.array(["a", "b"], type=pa.string()),
+            "ts": pa.array(pd.to_datetime(["2024-01-01 09:55", "2024-01-01 10:15"])),
+            "tag": pa.array([7, 9], type=pa.int64()),
+        }
+    )
+    out = (
+        asof_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            on="ts",
+            by="user",
+            right_cols=["tag"],
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["user", "ts"])
+        .reset_index(drop=True)
+    )
+    assert list(out["tag"]) == [7, 7, 9]
+    assert out["tag"].notna().all()

@@ -268,3 +268,57 @@ def test_cli_stats_snapshot_roundtrip(tmp_path):
     r2 = run_check(d, with_key_checks=False, reference_profile=profile)
     assert not r2.any_errors
     assert all(m["psi_n_tok"] < 0.01 for m in r2.drift_metrics.values())
+
+
+def test_error_code_prefix_filter(fixtures_dir):
+    """Prefix code filter (err_printer.rs:52-90): 'E1' enables E10/E1x."""
+    d, _ = fixture(fixtures_dir, "bad_len", defect="bad_len", defect_k=5)
+    res = run_check(d, cfg=CheckConfig(enabled_codes=("E1",)), with_key_checks=False)
+    assert res.violations.num_rows == 5
+    assert set(res.violations["code"].to_pylist()) == {"E10"}
+    res2 = run_check(d, cfg=CheckConfig(enabled_codes=("E7",)), with_key_checks=False)
+    assert res2.violations.num_rows == 0
+
+
+def test_global_error_budget_early_stop(tmp_path):
+    """Global max-errors stop (controller.rs:229-246 analog): a run over
+    many corrupt partitions stops early — strictly fewer violations than
+    the uncapped run, report flags stopped_early."""
+    d = str(tmp_path / "many_bad")
+    write_fixture(
+        d,
+        SynthSpec(n_rows=1200, n_parts=12, mean_n_tok=16),
+        defect="bad_vocab",
+        defect_k=10,
+        defect_parts=tuple(range(12)),
+    )
+    full = run_check(d, with_key_checks=False)
+    assert full.violations.num_rows == 120
+    capped = run_check(
+        d, cfg=CheckConfig(max_errors_global=20), with_key_checks=False
+    )
+    assert capped.report["stopped_early"] is True
+    assert capped.violations.num_rows < full.violations.num_rows
+    # uncapped run on a clean budget is not flagged
+    loose = run_check(
+        d, cfg=CheckConfig(max_errors_global=10_000), with_key_checks=False
+    )
+    assert loose.report["stopped_early"] is False
+    assert loose.violations.num_rows == 120
+
+
+def test_stats_snapshot_toml_roundtrip(fixtures_dir, tmp_path):
+    """TOML snapshot parity (stats_collector.rs:161-175 writes JSON *and*
+    TOML): write .toml -> tomllib re-read -> same profile fields."""
+    from fastpasta_ray.checks.drift import compare_profiles
+    from fastpasta_ray.pipelines.check import load_stats_profile
+
+    d, _ = fixture(fixtures_dir, "clean")
+    r1 = run_check(d, with_key_checks=False)
+    path = str(tmp_path / "stats.toml")
+    write_stats(r1, path)
+    p2 = load_stats_profile(path)
+    assert compare_profiles(r1.profile, p2) == []
+    jpath = str(tmp_path / "stats.json")
+    write_stats(r1, jpath)
+    assert compare_profiles(load_stats_profile(jpath), p2) == []

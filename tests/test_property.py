@@ -109,11 +109,14 @@ def test_bucket_candidates_match_naive(rows):
         2: set(),  # orphan
         3: set(),  # ntok
         4: set(),  # empty
+        5: set(),  # dup-ref (verification rider, not a violation)
     }
     for h, loc, cand in zip(
         out["h"].to_pylist(), out["loc"].to_pylist(), out["cand"].to_pylist()
     ):
         got[cand].add((h, loc) if cand != 4 else h)
+    # every dup run must carry exactly one reference row (the kept first)
+    assert {h for h, _ in got[5]} == {h for h, _ in got[1]}
     dup, orphan, ntok_bad, empty = naive_candidates(rows)
     assert got[1] == dup
     assert got[2] == orphan
