@@ -98,6 +98,20 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
     rows = res.report["total_rows"]
     tokens = res.report["total_tokens"]
 
+    # scalar-only mode (read_payload=False): the honest analog of the
+    # reference's `check all` RDH-only run (7.7 GB/s, README.md:245-250) —
+    # the payload never leaves storage, only header-column checks run
+    t_scalar = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_check(
+            fixture,
+            cfg=CheckConfig(read_payload=False),
+            manifest_path=os.path.join(fixture, "_manifest.parquet"),
+        )
+        t_scalar = min(t_scalar, time.perf_counter() - t0)
+    timings["check_sanity_scalar"] = round(t_scalar, 3)
+
     if queries:
         from fastpasta_ray.pipelines.queries import QUERIES
 

@@ -72,41 +72,48 @@ def run_row_checks(
     part = batch["part"].combine_chunks()
     row_index = batch["row_index"].combine_chunks()
     doc_id = batch["doc_id"].combine_chunks()
-    tokens = batch["tokens"].combine_chunks()
+    # scalar-only mode (read_payload=False, M7 skip_payload analog): the
+    # tokens column is pruned at the read; token checks are skipped
+    has_tokens = "tokens" in batch.column_names
+    tokens = batch["tokens"].combine_chunks() if has_tokens else None
     n_tok = batch["n_tok"].combine_chunks()
     source = batch["source"].combine_chunks()
     n = batch.num_rows
     out: list[pa.Table] = []
 
     # --- E100: tokens null (truncated row) — analog [E100] partial payload
-    tok_null = pc.is_null(tokens)
-    null_rows = np.flatnonzero(tok_null.to_numpy(zero_copy_only=False))
-    _emit(
-        out, part, row_index, doc_id, null_rows, S.E_TOKENS_NULL, "tokens",
-        ["tokens list is null (truncated row)"] * len(null_rows),
-    )
+    if has_tokens:
+        tok_null = pc.is_null(tokens)
+        null_rows = np.flatnonzero(tok_null.to_numpy(zero_copy_only=False))
+        _emit(
+            out, part, row_index, doc_id, null_rows, S.E_TOKENS_NULL, "tokens",
+            ["tokens list is null (truncated row)"] * len(null_rows),
+        )
 
     # --- E10: n_tok != len(tokens) — analog RDH sanity [E10]
-    lens = pc.list_value_length(tokens)  # null where tokens null
-    mism = pc.and_kleene(pc.is_valid(lens), pc.not_equal(lens, pc.cast(n_tok, pa.int32())))
-    mism = pc.fill_null(mism, False)
-    mrows = np.flatnonzero(mism.to_numpy(zero_copy_only=False))
-    if len(mrows):
-        lens_np = lens.to_numpy(zero_copy_only=False)
-        ntok_np = n_tok.to_numpy(zero_copy_only=False)
-        _emit(
-            out, part, row_index, doc_id, mrows, S.E_NTOK_MISMATCH, "n_tok",
-            [
-                f"n_tok mismatch: expected {int(ntok_np[r])} got {int(lens_np[r])}"
-                for r in mrows
-            ],
-        )
+    if has_tokens:
+        lens = pc.list_value_length(tokens)  # null where tokens null
+        mism = pc.and_kleene(pc.is_valid(lens), pc.not_equal(lens, pc.cast(n_tok, pa.int32())))
+        mism = pc.fill_null(mism, False)
+        mrows = np.flatnonzero(mism.to_numpy(zero_copy_only=False))
+        if len(mrows):
+            lens_np = lens.to_numpy(zero_copy_only=False)
+            ntok_np = n_tok.to_numpy(zero_copy_only=False)
+            _emit(
+                out, part, row_index, doc_id, mrows, S.E_NTOK_MISMATCH, "n_tok",
+                [
+                    f"n_tok mismatch: expected {int(ntok_np[r])} got {int(lens_np[r])}"
+                    for r in mrows
+                ],
+            )
 
     # --- E70: token out of vocab range — analog invalid data-word ID [E70]
     if flat_vals is not None:
         vals = flat_vals
-    else:
+    elif has_tokens:
         vals = tokens.flatten().to_numpy(zero_copy_only=False)  # drops null rows
+    else:
+        vals = np.zeros(0, dtype=np.int64)
     if flat_minmax is not None:
         vmin, vmax = flat_minmax
     elif len(vals):

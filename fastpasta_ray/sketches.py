@@ -356,8 +356,15 @@ class VocabBitmap:
         self.vocab = vocab
         self.seen = seen if seen is not None else np.zeros(vocab, dtype=bool)
 
-    def add(self, token_ids: np.ndarray) -> None:
+    def add(self, token_ids: np.ndarray, minmax: tuple | None = None) -> None:
+        """``minmax``: the batch's (min, max) when the caller already knows
+        it (the validate stage computes it anyway) — an all-in-range batch
+        skips the three filtering passes (2× bool masks + fancy-index copy
+        over every token; was 53% of pass-1 compute at bench scale)."""
         if len(token_ids) == 0:
+            return
+        if minmax is not None and minmax[0] >= 0 and minmax[1] < self.vocab:
+            self.seen[token_ids] = True
             return
         v = token_ids[(token_ids >= 0) & (token_ids < self.vocab)]
         self.seen[v] = True

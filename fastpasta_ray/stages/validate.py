@@ -51,6 +51,11 @@ class CheckConfig:
     # the documented divergence from the reference's per-record stop flag
     max_errors_global: int | None = None
     running_checks: bool = True          # `check all` vs `check sanity` analog
+    # False = never read the tokens payload (M7 skip_payload analog /
+    # `check all` RDH-only mode, config.rs:249-261): scalar-only column-
+    # pruned read; token-dependent checks (E10 len, E70 range, grammar) and
+    # token stats are skipped, everything else runs
+    read_payload: bool = True
     enabled_codes: tuple | None = None   # exact codes OR prefixes ("E9" → E9xxx)
     expected_row_count: int | None = None  # custom-checks `cdps` analog (E9001)
     drift_psi_threshold: float = 0.2
@@ -181,6 +186,8 @@ class ValidateFiles:
             yield self._schema_violation(_part_of(path), f"unreadable parquet file: {exc}")
             return
         want = {f.name: f.type for f in SEQUENCES_SCHEMA}
+        if not cfg.read_payload:
+            want = {k: v for k, v in want.items() if k != "tokens"}
         got = {n: file_schema.field(n).type for n in file_schema.names if n in want}
         missing = [n for n in want if n not in file_schema.names]
         wrong = [n for n, t in got.items() if t != want[n]]
@@ -195,19 +202,21 @@ class ValidateFiles:
                 )
             yield self._schema_violation(_part_of(path), "; ".join(detail))
             return
-        for batch in iter_file_batches(path, None, cfg.batch_rows):
+        columns = None if cfg.read_payload else ["doc_id", "n_tok", "source"]
+        for batch in iter_file_batches(path, columns, cfg.batch_rows):
             part = batch["part"][0].as_py() if part is None else part
             # --- stats accumulation (vectorized, one pass) -----------------
             stats.row_count += batch.num_rows
-            tokens = batch["tokens"].combine_chunks()
-            flat = tokens.flatten()
-            stats.token_count += len(flat)
             vals = None
             minmax = None
-            if len(flat):
-                vals = flat.to_numpy(zero_copy_only=False)
-                minmax = stats.token_mm.add(vals)
-                stats.vocab_bitmap.add(vals)
+            if cfg.read_payload:
+                tokens = batch["tokens"].combine_chunks()
+                flat = tokens.flatten()
+                stats.token_count += len(flat)
+                if len(flat):
+                    vals = flat.to_numpy(zero_copy_only=False)
+                    minmax = stats.token_mm.add(vals)
+                    stats.vocab_bitmap.add(vals, minmax)
             ntok = batch["n_tok"].combine_chunks().to_numpy(zero_copy_only=False)
             stats.n_tok_hist.add(ntok)
             stats.source_hist.add_arrow(batch["source"].combine_chunks())
@@ -223,7 +232,9 @@ class ValidateFiles:
                     flat_vals=vals,
                     flat_minmax=minmax,
                 )
-                if cfg.bos_id is not None or cfg.eos_id is not None or cfg.pad_id is not None:
+                if cfg.read_payload and (
+                    cfg.bos_id is not None or cfg.eos_id is not None or cfg.pad_id is not None
+                ):
                     from fastpasta_ray.checks.grammar import run_grammar_checks
 
                     gv = run_grammar_checks(batch, cfg.grammar)

@@ -322,3 +322,24 @@ def test_stats_snapshot_toml_roundtrip(fixtures_dir, tmp_path):
     jpath = str(tmp_path / "stats.json")
     write_stats(r1, jpath)
     assert compare_profiles(load_stats_profile(jpath), p2) == []
+
+
+def test_scalar_only_mode(fixtures_dir):
+    """read_payload=False (M7 skip_payload / RDH-only analog): token checks
+    skipped, scalar checks + running checks + key checks still run."""
+    d, info = fixture(fixtures_dir, "bad_vocab", defect="bad_vocab", defect_k=7)
+    res = run_check(d, cfg=CheckConfig(read_payload=False), with_key_checks=False)
+    assert res.violations.num_rows == 0  # E70 needs the payload
+    assert res.report["total_rows"] == 1200
+    assert res.report["total_tokens"] == 0
+    d2, _ = fixture(fixtures_dir, "bad_len", defect="bad_len", defect_k=5)
+    res2 = run_check(d2, cfg=CheckConfig(read_payload=False), with_key_checks=False)
+    assert res2.violations.num_rows == 0  # E10 needs the payload too
+    # but doc_id/source/running checks still fire without the payload
+    d3 = os.path.join(fixtures_dir, "bad_order_scalar")
+    if not os.path.isdir(d3):
+        write_fixture(d3, SynthSpec(n_rows=400, n_parts=3, mean_n_tok=32),
+                      defect="bad_order", defect_k=4)
+    res3 = run_check(d3, cfg=CheckConfig(read_payload=False), with_key_checks=False)
+    assert res3.violations.num_rows > 0
+    assert set(res3.violations["code"].to_pylist()) == {"E11"}
