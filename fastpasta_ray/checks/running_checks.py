@@ -23,12 +23,24 @@ from fastpasta_ray import schema as S
 
 
 class RunningState:
-    """Per-partition running state (one instance per input file)."""
+    """Per-partition running state (one instance per input file).
 
-    __slots__ = ("last_idx",)
+    ``expected_stride``: the R4 EXACT analog of the reference's
+    user-specified trigger period check (tdh.rs:60-206, [E440..E445]):
+    each valid doc index must advance by exactly ``stride`` modulo
+    ``index_wrap`` (the reference wraps the bunch counter at MAX_BC=3563;
+    the 8-digit doc index wraps at 10^8). None disables the exact check,
+    leaving only monotonicity — the `check sanity` vs period-configured
+    `check all` distinction."""
 
-    def __init__(self):
+    __slots__ = ("last_idx", "expected_stride", "index_wrap")
+
+    INDEX_WRAP = 100_000_000  # 8-digit doc index domain
+
+    def __init__(self, expected_stride: int | None = None, index_wrap: int | None = None):
         self.last_idx: int | None = None
+        self.expected_stride = expected_stride
+        self.index_wrap = index_wrap or self.INDEX_WRAP
 
     def check_batch(self, batch: pa.Table) -> pa.Table:
         """Vectorized monotonicity check over one ordered batch; carries the
@@ -46,8 +58,17 @@ class RunningState:
         seq = idx_np[vrows].astype(np.int64)
         prev = np.empty_like(seq)
         prev[1:] = seq[:-1]
-        prev[0] = self.last_idx if self.last_idx is not None else np.iinfo(np.int64).min
-        bad = seq <= prev
+        have_prev = self.last_idx is not None
+        prev[0] = self.last_idx if have_prev else np.iinfo(np.int64).min
+        if self.expected_stride is not None:
+            # exact-period mode (E44): (cur - prev) mod wrap == stride;
+            # the first valid row of the partition has no predecessor
+            delta = np.mod(seq - prev, self.index_wrap)
+            bad = delta != self.expected_stride
+            if not have_prev:
+                bad[0] = False
+        else:
+            bad = seq <= prev
         # carry the IMMEDIATE predecessor (last valid index), not the max:
         # the in-batch comparison is each-row-vs-previous-row, and the
         # cross-batch carry must match or results would depend on where
@@ -61,23 +82,32 @@ class RunningState:
         take = pa.array(bad_pos)
         prev_vals = prev[np.flatnonzero(bad)]
         cur_vals = seq[np.flatnonzero(bad)]
+        if self.expected_stride is not None:
+            code = S.E_PERIOD
+            msgs = [
+                S.format_message(
+                    code,
+                    f"doc index stride {(int(c) - int(p)) % self.index_wrap} "
+                    f"!= expected {self.expected_stride} ({int(c)} after {int(p)})",
+                )
+                for c, p in zip(cur_vals, prev_vals)
+            ]
+        else:
+            code = S.E_ORDER
+            msgs = [
+                S.format_message(
+                    code, f"doc index not increasing: {int(c)} after {int(p)}"
+                )
+                for c, p in zip(cur_vals, prev_vals)
+            ]
         return pa.table(
             {
                 "part": pc.take(part, take),
                 "row_index": pc.take(row_index, take),
                 "doc_id": pc.take(doc_id, take),
-                "code": pa.array([S.E_ORDER] * len(bad_pos), type=pa.string()),
+                "code": pa.array([code] * len(bad_pos), type=pa.string()),
                 "column": pa.array(["doc_id"] * len(bad_pos), type=pa.string()),
-                "message": pa.array(
-                    [
-                        S.format_message(
-                            S.E_ORDER,
-                            f"doc index not increasing: {int(c)} after {int(p)}",
-                        )
-                        for c, p in zip(cur_vals, prev_vals)
-                    ],
-                    type=pa.string(),
-                ),
+                "message": pa.array(msgs, type=pa.string()),
             },
             schema=S.VIOLATIONS_SCHEMA,
         )

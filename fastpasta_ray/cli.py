@@ -7,8 +7,11 @@
     fastpasta --filter-link N -o  → fastpasta-ray filter <dir> -o OUT --sources s1,s2
     --output-stats / --input-stats-file → --output-stats / --input-stats
     --show-only-errors-with-codes → --codes E10,E70
-    --max-tolerate-errors         → --max-errors (per partition; documented
-                                    divergence from the reference's global cap)
+    --max-tolerate-errors         → --max-errors (per partition) and
+                                    --max-errors-global (counter-actor stop,
+                                    partition-granular divergence window)
+    check all (RDH-only, no payload) → --no-payload (column-pruned read)
+    TDH trigger period (E440..)   → --expect-stride (exact doc-index stride)
 
 Exit code 1 when any violation was found (init.rs:54 analog).
 
@@ -69,7 +72,10 @@ def cmd_check(args) -> int:
         running_checks=not args.sanity_only,
         enabled_codes=tuple(args.codes.split(",")) if args.codes else None,
         max_errors_per_part=args.max_errors,
+        max_errors_global=args.max_errors_global,
         expected_row_count=args.expect_rows,
+        expected_index_stride=args.expect_stride,
+        read_payload=not args.no_payload,
         bos_id=args.bos_id,
         eos_id=args.eos_id,
         pad_id=args.pad_id,
@@ -159,7 +165,13 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--sanity-only", action="store_true", help="stateless checks only (check sanity analog)")
     c.add_argument("--codes", default=None, help="comma-separated error-code filter")
     c.add_argument("--max-errors", type=int, default=10_000, help="per-partition violation cap")
+    c.add_argument("--max-errors-global", type=int, default=None,
+                   help="global error budget: stop scheduling partitions once exceeded (max_tolerate_errors analog)")
     c.add_argument("--expect-rows", type=int, default=None, help="expected row count (custom check E9001)")
+    c.add_argument("--expect-stride", type=int, default=None,
+                   help="exact doc-index stride per partition (E44, trigger-period analog)")
+    c.add_argument("--no-payload", action="store_true",
+                   help="never read the tokens payload (RDH-only analog; token checks skipped)")
     c.add_argument("--bos-id", type=int, default=None, help="grammar: required first token (E30)")
     c.add_argument("--eos-id", type=int, default=None, help="grammar: required last token (E50)")
     c.add_argument("--pad-id", type=int, default=None, help="grammar: pad token allowed only as tail (E60)")

@@ -82,6 +82,7 @@ E_GRAMMAR_EOS = "E50"        # last token != EOS            ~ TDT sanity [E50]
 E_GRAMMAR_PAD = "E60"        # pad token before sequence end ~ DDW0 sanity [E60]
 # running checks (analog of RdhCruRunningChecker [E11], rdh_running.rs:38-184)
 E_ORDER = "E11"              # non-monotonic doc index within a partition
+E_PERIOD = "E44"             # doc index stride != expected   ~ TDH trigger period [E440..E445] (tdh.rs:60-206)
 # shuffle checks
 E_DUP_DOCID = "E80"          # duplicate doc_id            ~ orbit-must-change (rdh_running.rs:125-133)
 E_ORPHAN = "E71"             # doc_id missing from manifest ~ lane-not-active [E71] (ib.rs:14-22)
@@ -97,7 +98,7 @@ E_DRIFT_KS = "E9441"         # KS drift gate breached (per partition)
 ALL_CODES = (
     E_NTOK_MISMATCH, E_DOCID_FORMAT, E_DOCID_NULL, E_SCHEMA, E_SOURCE_NULL,
     E_SOURCE_DOMAIN, E_TOKEN_RANGE, E_TOKENS_NULL, E_GRAMMAR_BOS,
-    E_GRAMMAR_EOS, E_GRAMMAR_PAD, E_ORDER, E_DUP_DOCID,
+    E_GRAMMAR_EOS, E_GRAMMAR_PAD, E_ORDER, E_PERIOD, E_DUP_DOCID,
     E_ORPHAN, E_MANIFEST_NTOK, E_EMPTY_DOC, E_CUSTOM_COUNT, E_PROFILE_FIELD,
     E_DRIFT_PSI, E_DRIFT_KS,
 )

@@ -58,6 +58,9 @@ class CheckConfig:
     read_payload: bool = True
     enabled_codes: tuple | None = None   # exact codes OR prefixes ("E9" → E9xxx)
     expected_row_count: int | None = None  # custom-checks `cdps` analog (E9001)
+    # exact doc-index stride per partition (R4 trigger-period analog,
+    # tdh.rs:60-206 [E440..E445]); None = monotonicity only
+    expected_index_stride: int | None = None
     drift_psi_threshold: float = 0.2
     drift_ks_threshold: float = 0.15
     # sequence-grammar (FSM analog) rules; None disables each — the
@@ -167,7 +170,9 @@ class ValidateFiles:
     def validate_file(self, path: str) -> Iterator[pa.Table]:
         cfg = self.cfg
         stats = PartStats(vocab=cfg.vocab)
-        running = RunningState() if cfg.running_checks else None
+        running = (
+            RunningState(cfg.expected_index_stride) if cfg.running_checks else None
+        )
         emitted = 0
         part = None
         own_violations: list[pa.Table] = []  # for the in-task commit

@@ -343,3 +343,29 @@ def test_scalar_only_mode(fixtures_dir):
     res3 = run_check(d3, cfg=CheckConfig(read_payload=False), with_key_checks=False)
     assert res3.violations.num_rows > 0
     assert set(res3.violations["code"].to_pylist()) == {"E11"}
+
+
+def test_expected_index_stride_period_check(fixtures_dir):
+    """R4 exact analog (tdh.rs:60-206 trigger period): stride=1 matches the
+    clean fixture's consecutive doc indices; stride=2 flags every row after
+    the first; a swapped-order fixture fires E44 instead of E11."""
+    d, _ = fixture(fixtures_dir, "clean")
+    ok = run_check(
+        d, cfg=CheckConfig(expected_index_stride=1), with_key_checks=False
+    )
+    assert ok.violations.num_rows == 0
+    bad = run_check(
+        d, cfg=CheckConfig(expected_index_stride=2), with_key_checks=False
+    )
+    # every consecutive pair has stride 1 != 2: all rows but the first per part
+    assert bad.violations.num_rows == 1200 - 3
+    assert set(bad.violations["code"].to_pylist()) == {"E44"}
+    d2 = os.path.join(fixtures_dir, "bad_order_period")
+    if not os.path.isdir(d2):
+        write_fixture(d2, SynthSpec(n_rows=400, n_parts=3, mean_n_tok=32),
+                      defect="bad_order", defect_k=4)
+    res = run_check(
+        d2, cfg=CheckConfig(expected_index_stride=1), with_key_checks=False
+    )
+    assert res.violations.num_rows > 0
+    assert set(res.violations["code"].to_pylist()) == {"E44"}
