@@ -112,6 +112,67 @@ class LangID:
         )
 
 
+def repetition_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Within-document repetition (the Gopher-style repetition filter
+    signal): distinct-word count and repeated-word ratio per doc.
+    Vectorized: one flat word-hash pass + per-doc lexsort dedup (reuses the
+    word-n-gram machinery at n=1); no per-document Python."""
+    from fastpasta_ray.functions.dedup import word_ngram_hashes_flat
+
+    toks = pc.split_pattern(batch[text_col], " ")
+    n_words = pc.cast(pc.list_value_length(toks), pa.int64())
+    _, offsets = word_ngram_hashes_flat(batch[text_col], n=1)
+    n_distinct = np.diff(offsets)
+    nw = n_words.to_numpy(zero_copy_only=False)
+    # NOT rounded: the SQL oracle computes the identical IEEE division, so
+    # raw float64 bits match exactly; rounding would INTRODUCE mismatches
+    # (numpy banker's vs SQL half-away on exact half-ulp ties)
+    rep = np.where(nw > 0, 1.0 - n_distinct / np.maximum(nw, 1), 0.0)
+    return (
+        batch.append_column("n_words", n_words)
+        .append_column("n_distinct_words", pa.array(n_distinct, type=pa.int64()))
+        .append_column("rep_ratio", pa.array(rep))
+    )
+
+
+def mean_word_length(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Mean word length per doc (single-space tokenization):
+    (chars − separators) / words — a Gopher-style quality-filter feature,
+    SQL-replicable exactly."""
+    t = batch[text_col]
+    length = pc.cast(pc.utf8_length(t), pa.int64()).to_numpy(zero_copy_only=False)
+    nw = pc.cast(
+        pc.list_value_length(pc.split_pattern(t, " ")), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    # raw float64 (no rounding) — bit-identical to the SQL oracle's division
+    mwl = np.where(nw > 0, (length - (nw - 1)) / np.maximum(nw, 1), 0.0)
+    return batch.append_column("mean_word_len", pa.array(mwl))
+
+
+# public PII patterns (emails, international-ish phone numbers) — the
+# standard scrub pass of a training-data pipeline
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "[PHONE]"),
+)
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Replace emails/phone numbers with placeholder tokens — vectorized
+    RE2 passes (pc.replace_substring_regex); adds ``text_redacted`` and a
+    per-row ``n_redactions`` count."""
+    t = batch[text_col]
+    orig_len = pc.utf8_length(t)
+    n_red = None
+    for pat, repl in PII_PATTERNS:
+        n = pc.count_substring_regex(t, pat)
+        n_red = n if n_red is None else pc.add(n_red, n)
+        t = pc.replace_substring_regex(t, pat, replacement=repl)
+    return batch.append_column("text_redacted", t).append_column(
+        "n_redactions", pc.cast(n_red, pa.int64())
+    )
+
+
 def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit document fingerprint (deterministic content hash) — the cheap
     exact-dup key. pandas.util.hash_array = siphash with fixed key, stable

@@ -1331,6 +1331,69 @@ def q_deterministic_sample(sf_dir: str):
     return _to_table(out)
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style per-document quality signals: within-doc repetition ratio
+# (distinct-word count) and mean word length — both SQL-exact
+# ---------------------------------------------------------------------------
+
+def q_repetition(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: ftext.repetition_metrics(b).select(
+            ["doc_id", "n_words", "n_distinct_words", "rep_ratio"]
+        ),
+        batch_format="pyarrow",
+    )
+    return _to_table(out)
+
+
+ORACLES["repetition"] = """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words,
+           1.0 - len(list_distinct(string_split(text, ' ')))
+               * 1.0 / len(string_split(text, ' ')) AS rep_ratio
+    FROM documents
+"""
+QUERIES["repetition"] = q_repetition
+
+
+def q_gopher_word_len_filter(sf_dir: str):
+    """Docs failing the mean-word-length band [4.0, 4.9] (Gopher-style
+    quality rule, band tuned to this corpus's 4.5±0.2 distribution so the
+    filter is non-vacuous) — the predicate is SQL-exact on raw float64."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def flag(b: pa.Table) -> pa.Table:
+        m = ftext.mean_word_length(b)
+        mwl = m["mean_word_len"].to_numpy(zero_copy_only=False)
+        keep = (mwl < 4.0) | (mwl > 4.9)
+        return m.select(["doc_id", "mean_word_len"]).filter(pa.array(keep))
+
+    t = _to_table(ds.map_batches(flag, batch_format="pyarrow"))
+    if t is None:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "mean_word_len": pa.array([], type=pa.float64()),
+            }
+        )
+    return t
+
+
+ORACLES["gopher_word_len_filter"] = """
+    WITH m AS (
+        SELECT doc_id,
+               (LENGTH(text) - (len(string_split(text, ' ')) - 1))
+                   * 1.0 / len(string_split(text, ' ')) AS mean_word_len
+        FROM documents
+    )
+    SELECT doc_id, mean_word_len FROM m
+    WHERE mean_word_len < 4.0 OR mean_word_len > 4.9
+"""
+QUERIES["gopher_word_len_filter"] = q_gopher_word_len_filter
+
+
 ORACLES["deterministic_sample"] = """
     SELECT source, COUNT(*) AS n_sampled,
            CAST(SUM(n_chars) AS BIGINT) AS chars_sampled

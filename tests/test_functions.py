@@ -292,3 +292,34 @@ def test_asof_join_string_keys_and_typed_padding():
     )
     assert list(out["tag"]) == [7, 7, 9]
     assert out["tag"].notna().all()
+
+
+def test_redact_pii():
+    from fastpasta_ray.functions.text import redact_pii
+
+    t = docs_table(
+        [
+            "contact me at jane.doe@example.com or +1 (555) 123-4567 today",
+            "no pii here at all",
+            "two mails: a@b.io and c.d@e-f.org",
+        ]
+    )
+    out = redact_pii(t)
+    red = out["text_redacted"].to_pylist()
+    assert red[0] == "contact me at [EMAIL] or [PHONE] today"
+    assert red[1] == "no pii here at all"
+    assert red[2] == "two mails: [EMAIL] and [EMAIL]"
+    assert out["n_redactions"].to_pylist() == [2, 0, 2]
+
+
+def test_repetition_and_mean_word_length():
+    from fastpasta_ray.functions.text import mean_word_length, repetition_metrics
+
+    t = docs_table(["a a b b b", "one two three four"])
+    r = repetition_metrics(t)
+    assert r["n_words"].to_pylist() == [5, 4]
+    assert r["n_distinct_words"].to_pylist() == [2, 4]
+    assert abs(r["rep_ratio"][0].as_py() - 0.6) < 1e-12
+    m = mean_word_length(t)
+    assert abs(m["mean_word_len"][0].as_py() - 1.0) < 1e-12
+    assert abs(m["mean_word_len"][1].as_py() - 15 / 4) < 1e-12
