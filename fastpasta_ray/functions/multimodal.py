@@ -82,6 +82,85 @@ class ImageDecoder:
         )
 
 
+class ImageResizer:
+    """Actor-pool stage: resize decoded images to (target, target).
+
+    The resize MATH is real (vectorized nearest-neighbor index gather);
+    only the byte→pixel decode is the deterministic fake (payload bytes
+    reshaped to height×width, truncated/padded) because no codec libs
+    exist in this container — swap ``_decode`` for PIL in production."""
+
+    def __init__(self, target: int = 32, fake: bool = True):
+        self.target = target
+        if not fake:
+            raise NotImplementedError(
+                "real image decode needs PIL/opencv — not available in this container"
+            )
+
+    def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        a = np.frombuffer(payload, dtype=np.uint8)
+        need = w * h
+        if len(a) < need:
+            a = np.pad(a, (0, need - len(a)))
+        return a[:need].reshape(h, w)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.target
+        w = batch["width"].to_numpy(zero_copy_only=False)
+        h = batch["height"].to_numpy(zero_copy_only=False)
+        out_px = []
+        for p, wi, hi in zip(batch["payload"].to_pylist(), w, h):
+            img = self._decode(p, int(wi), int(hi))
+            yi = (np.arange(t) * hi // t).astype(np.int64)
+            xi = (np.arange(t) * wi // t).astype(np.int64)
+            out_px.append(img[np.ix_(yi, xi)].reshape(-1))
+        flat = np.concatenate(out_px) if out_px else np.zeros(0, dtype=np.uint8)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "resized": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat, type=pa.uint8()), t * t
+                ),
+            }
+        )
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: take every Nth frame of a video payload.
+
+    STUB decode (no ffmpeg here): payload bytes are treated as a stream of
+    fixed-size frames (w×h bytes each); real impl swaps ``_frames``. The
+    Ray-side shape — small batch_size, per-frame output rows (flat_map
+    layout), actor init — is the real contract."""
+
+    def __init__(self, every_n: int = 10):
+        self.every_n = every_n
+
+    def _frames(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        fsz = max(w * h, 1)
+        n = len(payload) // fsz
+        return np.frombuffer(payload[: n * fsz], dtype=np.uint8).reshape(n, fsz)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_fidx, out_mean = [], [], []
+        w = batch["width"].to_numpy(zero_copy_only=False)
+        h = batch["height"].to_numpy(zero_copy_only=False)
+        for mid, p, wi, hi in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist(), w, h
+        ):
+            fr = self._frames(p, int(wi), int(hi))[:: self.every_n]
+            out_id.extend([mid] * len(fr))
+            out_fidx.extend(range(len(fr)))
+            out_mean.extend(np.round(fr.mean(axis=1), 4).tolist() if len(fr) else [])
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, type=pa.string()),
+                "frame_idx": pa.array(out_fidx, type=pa.int64()),
+                "frame_mean": pa.array(out_mean, type=pa.float64()),
+            }
+        )
+
+
 class AudioFrameSampler:
     """Actor-pool stage: sample every Nth frame of an audio payload.
 

@@ -338,21 +338,34 @@ def q_nonmonotonic_events(sf_dir: str):
 def q_hourly_events(sf_dir: str):
     ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def trunc(b: pa.Table) -> pa.Table:
-        return pa.table(
+    def partial(b: pa.Table) -> pa.Table:
+        # map-side combiner: pre-aggregate the tumbling windows per batch
+        # so the shuffle carries ≤ |windows × types| rows per block, not
+        # every event (the G1 partial→final pattern)
+        t = pa.table(
             {
                 "window_start": pc.floor_temporal(b["ts"], unit="hour"),
                 "event_type": b["event_type"],
                 "value": b["value"],
             }
         )
+        g = t.group_by(["window_start", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return g.rename_columns(
+            ["window_start", "event_type", "n_part", "sum_part"]
+        )
 
     out = (
-        ds.map_batches(trunc, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["window_start", "event_type"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+        .aggregate(Sum("n_part", alias_name="n_events"), Sum("sum_part", alias_name="total_value"))
     )
-    return _round_col(_to_table(out), "total_value", 2)
+    t = _to_table(out)
+    t = t.set_column(
+        t.column_names.index("n_events"), "n_events", pc.cast(t["n_events"], pa.int64())
+    )
+    return _round_col(t, "total_value", 2)
 
 
 # ---------------------------------------------------------------------------
@@ -430,7 +443,9 @@ def q_minhash_pairs(sf_dir: str):
     so LSH recall at this threshold is total)."""
     from fastpasta_ray.functions.dedup import minhash_lsh_pairs
 
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=16)
+    # blocks=8 measured fastest (16 pays groupby per-block overhead, 2
+    # serializes the signature hashing)
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=8)
     t = _to_table(minhash_lsh_pairs(ds, threshold=0.5))
     return t if t is not None else _EMPTY_JACCARD
 
@@ -441,7 +456,7 @@ def q_simhash_pairs(sf_dir: str):
     minhash_pairs at a stricter threshold."""
     from fastpasta_ray.functions.dedup import exact_jaccard_verify, simhash_near_dups
 
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=16)
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=8)
     cand = simhash_near_dups(ds).select_columns(["doc_a", "doc_b"])
     t = _to_table(exact_jaccard_verify(cand, ds, threshold=0.8))
     return t if t is not None else _EMPTY_JACCARD

@@ -323,3 +323,26 @@ def test_repetition_and_mean_word_length():
     m = mean_word_length(t)
     assert abs(m["mean_word_len"][0].as_py() - 1.0) < 1e-12
     assert abs(m["mean_word_len"][1].as_py() - 15 / 4) < 1e-12
+
+
+def test_multimodal_resize_and_video_sampler():
+    from fastpasta_ray.functions.multimodal import (
+        MEDIA_BATCH_KWARGS,
+        ImageResizer,
+        VideoFrameSampler,
+        synth_media_table,
+    )
+
+    t = synth_media_table(6, payload_bytes=64 * 64)
+    ds = ray.data.from_arrow(t)
+    r = ds.map_batches(ImageResizer, fn_constructor_kwargs={"target": 8},
+                       concurrency=1, **MEDIA_BATCH_KWARGS).to_pandas()
+    assert len(r) == 6
+    assert all(len(x) == 64 for x in r["resized"])
+    # video: payload = 4 frames of 64x64 → every 2nd frame sampled
+    t2 = synth_media_table(2, payload_bytes=4 * 64 * 64)
+    v = ray.data.from_arrow(t2).map_batches(
+        VideoFrameSampler, fn_constructor_kwargs={"every_n": 2},
+        concurrency=1, **MEDIA_BATCH_KWARGS,
+    ).to_pandas()
+    assert list(v.groupby("media_id")["frame_idx"].count()) == [2, 2]
