@@ -366,11 +366,15 @@ def exact_jaccard_verify(
             sa = flat[off[i] : off[i + 1]]
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
+            # NOT rounded: int/int division is bit-identical to the SQL
+            # oracle's i*1.0/union; rounding would INTRODUCE mismatches on
+            # exact half-ulp ties (1/32 = 0.03125 rounds differently under
+            # banker's vs half-away)
             j = inter / union if union else 0.0
             if j >= threshold:
                 oa.append(int(a[i]))
                 ob.append(int(b[i]))
-                oj.append(round(j, 4))
+                oj.append(j)
         return pa.table(
             {
                 "doc_a": pa.array(oa, type=pa.int64()),

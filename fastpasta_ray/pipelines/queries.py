@@ -1282,7 +1282,7 @@ _JACCARD_ORACLE = """
               FROM gu a JOIN gu b ON a.sh = b.sh AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
     SELECT da AS doc_a, db AS doc_b,
-           ROUND(i * 1.0 / (ca.c + cb.c - i), 4) AS jaccard
+           i * 1.0 / (ca.c + cb.c - i) AS jaccard
     FROM inter
     JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
     WHERE i * 1.0 / (ca.c + cb.c - i) >= {thr}

@@ -291,3 +291,77 @@ def test_row_checks_match_naive(rows):
         elif not pat.match(did):
             expect.add((i, "E12"))
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# round-2 machinery: popcount, word-ngram sets, SimHash vectorization,
+# combo-key pigeonhole guarantee
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.integers(0, 2**64 - 1), max_size=200))
+def test_popcount64_matches_bin(xs):
+    from fastpasta_ray.functions.dedup import popcount64
+
+    a = np.array(xs, dtype=np.uint64)
+    got = popcount64(a)
+    exp = [bin(int(x)).count("1") for x in xs]
+    assert got.tolist() == exp
+
+
+words_st = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=3), min_size=0, max_size=12
+)
+
+
+@given(st.lists(words_st, min_size=1, max_size=8), st.integers(1, 4))
+def test_word_ngram_sets_match_naive(docs, n):
+    from fastpasta_ray.functions.dedup import word_ngram_hashes_flat
+
+    texts = [" ".join(ws) for ws in docs]
+    flat, off = word_ngram_hashes_flat(pa.array(texts, type=pa.string()), n)
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        naive = {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
+        got_n = off[i + 1] - off[i]
+        assert got_n == len(naive), (t, n)
+        # sets are hashes — distinctness must match exactly (no collisions
+        # expected at these sizes)
+        assert len(np.unique(flat[off[i] : off[i + 1]])) == got_n
+
+
+@given(st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=40), min_size=1, max_size=6))
+def test_simhash_vectorized_matches_naive(texts):
+    from fastpasta_ray.functions.dedup import SimHasher, _shingle_hashes
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    got = SimHasher(5)(t)["simhash"].to_numpy(zero_copy_only=False)
+    # naive per-doc reference (the round-1 implementation)
+    bits = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    for i, sh in enumerate(_shingle_hashes(texts, 5)):
+        votes = ((sh[:, None] & bits) != 0).sum(axis=0) * 2 - len(sh)
+        exp = np.sum((votes > 0) * bits[0], dtype=np.uint64)
+        assert got[i] == exp, texts[i]
+
+
+@given(st.integers(0, 2**64 - 1), st.sets(st.integers(0, 63), min_size=0, max_size=6))
+def test_simhash_combo_guarantee(h, flip_bits):
+    """Pigeonhole: any pair within Hamming 6 shares at least one of the 28
+    two-block combo keys (the candidate-generation guarantee)."""
+    from fastpasta_ray.functions.dedup import _SIMHASH_COMBOS
+
+    a = np.uint64(h)
+    b = a
+    for bit in flip_bits:
+        b = np.uint64(int(b) ^ (1 << bit))
+    blocks_a = [(int(a) >> (8 * q)) & 0xFF for q in range(8)]
+    blocks_b = [(int(b) >> (8 * q)) & 0xFF for q in range(8)]
+    shared = any(
+        blocks_a[i] == blocks_b[i] and blocks_a[j] == blocks_b[j]
+        for i, j in _SIMHASH_COMBOS
+    )
+    assert shared
