@@ -121,12 +121,17 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
             "exact_dup_count",
             "hourly_events",
             "similarity_top10",
+            "ivf_similarity",
+            "embedding_neardups",
             "minhash_pairs",
             "simhash_pairs",
             "token_counts",
+            "lang_id",
+            "repetition",
             "session_stats",
             "asof_purchase_attribution",
             "q3_shipping_priority",
+            "q5_local_supplier_volume",
             "word_topk",
         ):
             t0 = time.perf_counter()

@@ -79,6 +79,9 @@ def cmd_check(args) -> int:
         bos_id=args.bos_id,
         eos_id=args.eos_id,
         pad_id=args.pad_id,
+        segment_delim_id=args.segment_delim,
+        min_segments=args.min_segments,
+        max_segments=args.max_segments,
     )
     res = run_check(
         args.input_dir,
@@ -175,6 +178,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--bos-id", type=int, default=None, help="grammar: required first token (E30)")
     c.add_argument("--eos-id", type=int, default=None, help="grammar: required last token (E50)")
     c.add_argument("--pad-id", type=int, default=None, help="grammar: pad token allowed only as tail (E60)")
+    c.add_argument("--segment-delim", type=int, default=None,
+                   help="nested segment decode: delimiter token id (E73/E74/E75, ALPIDE analog)")
+    c.add_argument("--min-segments", type=int, default=None)
+    c.add_argument("--max-segments", type=int, default=None)
     c.add_argument("--input-stats", default=None, help="reference profile JSON to compare against")
     c.add_argument("--output-stats", default=None, help="write stats snapshot JSON here")
     c.add_argument("--output-violations", default=None, help="write violations parquet (one file per partition) here")

@@ -87,6 +87,9 @@ E_PERIOD = "E44"             # doc index stride != expected   ~ TDH trigger peri
 E_DUP_DOCID = "E80"          # duplicate doc_id            ~ orbit-must-change (rdh_running.rs:125-133)
 E_ORPHAN = "E71"             # doc_id missing from manifest ~ lane-not-active [E71] (ib.rs:14-22)
 E_MANIFEST_NTOK = "E72"      # n_tok != manifest expected   ~ [E72] lane grouping
+E_SEG_COUNT = "E73"          # segment count out of band    ~ [E73] lane count (alpide_readout_frame.rs:53-129)
+E_SEG_HEADER = "E74"         # segment headers unequal      ~ [E74] cross-lane BC equality (alpide.rs:19-122)
+E_SEG_EMPTY = "E75"          # empty segment                ~ [E75] empty-lane wrapper
 E_EMPTY_DOC = "E701"         # manifest doc with no sequence row ~ [E701] empty readout frame
 # stats / profile comparison (analog of validate_other_stats + custom checks
 # [E9001]/[E9002], stats_validation.rs:4-38)
@@ -99,7 +102,8 @@ ALL_CODES = (
     E_NTOK_MISMATCH, E_DOCID_FORMAT, E_DOCID_NULL, E_SCHEMA, E_SOURCE_NULL,
     E_SOURCE_DOMAIN, E_TOKEN_RANGE, E_TOKENS_NULL, E_GRAMMAR_BOS,
     E_GRAMMAR_EOS, E_GRAMMAR_PAD, E_ORDER, E_PERIOD, E_DUP_DOCID,
-    E_ORPHAN, E_MANIFEST_NTOK, E_EMPTY_DOC, E_CUSTOM_COUNT, E_PROFILE_FIELD,
+    E_ORPHAN, E_MANIFEST_NTOK, E_SEG_COUNT, E_SEG_HEADER, E_SEG_EMPTY,
+    E_EMPTY_DOC, E_CUSTOM_COUNT, E_PROFILE_FIELD,
     E_DRIFT_PSI, E_DRIFT_KS,
 )
 

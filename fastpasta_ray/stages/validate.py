@@ -68,6 +68,11 @@ class CheckConfig:
     bos_id: int | None = None
     eos_id: int | None = None
     pad_id: int | None = None
+    # nested segment decode (ALPIDE deep-decode analog, checks/segments.py);
+    # None disables — E73 count band / E74 header equality / E75 empty
+    segment_delim_id: int | None = None
+    min_segments: int | None = None
+    max_segments: int | None = None
     extra: dict = field(default_factory=dict)
 
     @property
@@ -245,6 +250,17 @@ class ValidateFiles:
                     gv = run_grammar_checks(batch, cfg.grammar)
                     if gv.num_rows:
                         v = pa.concat_tables([v, gv])
+                if cfg.read_payload and cfg.segment_delim_id is not None:
+                    from fastpasta_ray.checks.segments import run_segment_checks
+
+                    sv = run_segment_checks(
+                        batch,
+                        delim_id=cfg.segment_delim_id,
+                        min_segments=cfg.min_segments,
+                        max_segments=cfg.max_segments,
+                    )
+                    if sv.num_rows:
+                        v = pa.concat_tables([v, sv])
                 if cfg.extra.get("custom_checks"):
                     from fastpasta_ray.checks.registry import run_custom_checks
 

@@ -119,3 +119,76 @@ def test_per_row_token_equality_vs_generator(tmp_path):
              iter_file_batches(os.path.join(d, f"part-{p:04d}.parquet"))]
         )
         assert got.equals(truth)  # byte-level column equality incl. tokens
+
+
+# ---------------------------------------------------------------------------
+# nested segment decode (ALPIDE deep-decode analog, checks/segments.py)
+# ---------------------------------------------------------------------------
+
+def _seg_batch(token_rows):
+    import pyarrow as pa
+
+    n = len(token_rows)
+    return pa.table(
+        {
+            "part": pa.array(["p"] * n),
+            "row_index": pa.array(range(n), type=pa.int64()),
+            "doc_id": pa.array([f"d{i}" for i in range(n)]),
+            "tokens": pa.array(token_rows, type=pa.list_(pa.int32())),
+        }
+    )
+
+
+def test_segment_checks_exact_rows():
+    from fastpasta_ray.checks.segments import run_segment_checks
+
+    DELIM = 99
+    rows = [
+        [5, 1, 2, 99, 5, 3, 99, 5, 4],      # 3 segments, headers all 5 → clean
+        [5, 1, 99, 7, 2],                    # headers 5 vs 7 → E74
+        [5, 1],                              # 1 segment → below min → E73
+        [5, 1, 99, 99, 5, 2],                # consecutive delims → E75
+        [99, 5, 1, 99, 5, 2],                # leading delim → E75 (empty first)
+        [5, 1, 99, 5, 2, 99],                # trailing delim → E75 (empty last)
+        [],                                  # empty row: no segment checks
+    ]
+    v = run_segment_checks(
+        _seg_batch(rows), delim_id=DELIM, min_segments=2, max_segments=3
+    )
+    got = sorted(zip(v["row_index"].to_pylist(), v["code"].to_pylist()))
+    assert got == [(1, "E74"), (2, "E73"), (3, "E75"), (4, "E75"), (5, "E75")]
+
+
+def test_segment_checks_via_pipeline(tmp_path):
+    """End-to-end: segment config through CheckConfig over a written fixture."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastpasta_ray.pipelines.check import run_check
+    from fastpasta_ray.stages.validate import CheckConfig
+
+    d = str(tmp_path / "segfix")
+    os.makedirs(d)
+    rows = [
+        [5, 1, 2, 99, 5, 3],   # clean (2 segments, equal headers)
+        [5, 1, 99, 6, 2],      # E74
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(["web/0000/00000000", "web/0000/00000001"]),
+            "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r) for r in rows], type=pa.int32()),
+            "source": pa.array(["web", "web"]),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "part-0000.parquet"))
+    res = run_check(
+        d,
+        cfg=CheckConfig(segment_delim_id=99, min_segments=1, max_segments=8),
+        with_key_checks=False,
+    )
+    assert res.violations.num_rows == 1
+    assert res.violations["code"].to_pylist() == ["E74"]
