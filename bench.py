@@ -86,7 +86,8 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
         fixture, cfg=CheckConfig(), manifest_path=os.path.join(fixture, "_manifest.parquet")
     )
     t_check = float("inf")
-    for _ in range(2):  # best-of-2 steady-state runs (hyperfine-style)
+    for _ in range(3):  # best-of-3 steady-state runs (hyperfine-style; this
+        # shared box drifts ±15% with background load — see BASELINE.md)
         t0 = time.perf_counter()
         res = run_check(
             fixture,

@@ -249,19 +249,15 @@ def ivf_topk(
     cent = build_ivf_centroids(ds, n_centroids, emb_col, id_col=id_col)
     cent_ref = ray.put(cent)
     qn = _normalize(np.atleast_2d(np.asarray(query, dtype=np.float64)))
-    probe = set(np.argsort(-(qn @ cent.T)[0])[:n_probe].tolist())
+    probe = np.sort(np.argsort(-(qn @ cent.T)[0])[:n_probe])
 
-    class AssignFilter:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
+    def assign_filter(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _normalize(_emb_matrix(batch, emb_col))
+        assign = (m @ c.T).argmax(axis=1)
+        return batch.filter(pa.array(np.isin(assign, probe)))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_emb_matrix(batch, emb_col))
-            assign = (m @ self.cent.T).argmax(axis=1)
-            keep = np.isin(assign, list(probe))
-            return batch.filter(pa.array(keep))
-
-    filtered = ds.map_batches(AssignFilter, batch_format="pyarrow", concurrency=2)
+    filtered = ds.map_batches(assign_filter, batch_format="pyarrow")
     return cosine_topk(filtered, query, k, id_col=id_col, emb_col=emb_col)
 
 
@@ -273,20 +269,19 @@ def cluster_radii(
     cent_ref = ray.put(cent)
     n_c = len(cent)
 
-    class PartialRadii:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
+    def partial_radii(batch: pa.Table) -> pa.Table:
+        # task-pool fn (actor startup costs ~0.5 s/wave; ray.get of the
+        # broadcast is a zero-copy plasma read)
+        c = ray.get(cent_ref)
+        m = _normalize(_emb_matrix(batch, emb_col))
+        sims = m @ c.T
+        assign = sims.argmax(axis=1)
+        ang = np.arccos(np.clip(sims[np.arange(len(m)), assign], -1.0, 1.0))
+        r = np.zeros(n_c)
+        np.maximum.at(r, assign, ang)
+        return pa.table({"radii": pa.array([r.tolist()], type=pa.list_(pa.float64()))})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_emb_matrix(batch, emb_col))
-            sims = m @ self.cent.T
-            assign = sims.argmax(axis=1)
-            ang = np.arccos(np.clip(sims[np.arange(len(m)), assign], -1.0, 1.0))
-            r = np.zeros(n_c)
-            np.maximum.at(r, assign, ang)
-            return pa.table({"radii": pa.array([r.tolist()], type=pa.list_(pa.float64()))})
-
-    parts = ds.map_batches(PartialRadii, batch_format="pyarrow", concurrency=2)
+    parts = ds.map_batches(partial_radii, batch_format="pyarrow")
     r = np.zeros(n_c)
     for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
         for row in b["radii"].to_pylist():
@@ -322,19 +317,18 @@ def ivf_topk_exact(
     cent_ref = ray.put(cent)
 
     def probe_filter(probe: set):
-        class AssignFilter:
-            def __init__(self):
-                self.cent = ray.get(cent_ref)
+        probe_arr = np.array(sorted(probe))
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                m = _normalize(_emb_matrix(batch, emb_col))
-                assign = (m @ self.cent.T).argmax(axis=1)
-                return batch.filter(pa.array(np.isin(assign, list(probe))))
+        def assign_filter(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            m = _normalize(_emb_matrix(batch, emb_col))
+            assign = (m @ c.T).argmax(axis=1)
+            return batch.filter(pa.array(np.isin(assign, probe_arr)))
 
-        return AssignFilter
+        return assign_filter
 
     t1 = cosine_topk(
-        ds.map_batches(probe_filter(first_wave), batch_format="pyarrow", concurrency=2),
+        ds.map_batches(probe_filter(first_wave), batch_format="pyarrow"),
         query, k, id_col=id_col, emb_col=emb_col, round_to=None,
     )
     # fewer than k hits in the first wave → every cluster may contribute
@@ -345,7 +339,7 @@ def ivf_topk_exact(
     }
     if second_wave:
         t2 = cosine_topk(
-            ds.map_batches(probe_filter(second_wave), batch_format="pyarrow", concurrency=2),
+            ds.map_batches(probe_filter(second_wave), batch_format="pyarrow"),
             query, k, id_col=id_col, emb_col=emb_col, round_to=None,
         )
         both = pa.concat_tables([t1, t2])

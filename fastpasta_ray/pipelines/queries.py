@@ -80,21 +80,33 @@ def q_lineitem_agg(sf_dir: str):
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def add_rev(b: pa.Table) -> pa.Table:
+    def partial(b: pa.Table) -> pa.Table:
+        # map-side combiner (G1 partial→final): the shuffle carries ≤6
+        # group rows per batch instead of every lineitem row
         rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return b.append_column("revenue", rev)
+        t = b.append_column("revenue", rev)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("revenue", "sum"), ("revenue", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "q_part", "bp_part", "dp_part", "n_part"]
+        )
 
     out = (
-        ds.map_batches(add_rev, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("revenue", alias_name="sum_disc_price"),
-            Count(alias_name="count_order"),
+            Sum("q_part", alias_name="sum_qty"),
+            Sum("bp_part", alias_name="sum_base_price"),
+            Sum("dp_part", alias_name="sum_disc_price"),
+            Sum("n_part", alias_name="count_order"),
         )
     )
     t = _to_table(out)
+    t = t.set_column(
+        t.column_names.index("count_order"), "count_order",
+        pc.cast(t["count_order"], pa.int64()),
+    )
     for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
         t = _round_col(t, c, 2)
     return t
@@ -265,20 +277,29 @@ def q_orders_by_segment(sf_dir: str):
             pos = np.searchsorted(self.keys, ck)
             seg = self.segs[np.clip(pos, 0, len(self.keys) - 1)]
             seg = np.where(self.keys[np.clip(pos, 0, len(self.keys) - 1)] == ck, seg, None)
-            return pa.table(
+            t = pa.table(
                 {
                     "c_mktsegment": pa.array(seg.astype(object), type=pa.string()),
                     "o_totalprice": b["o_totalprice"],
                 }
             )
+            # map-side combiner: ≤5 segment rows per batch into the shuffle
+            g = t.group_by(["c_mktsegment"]).aggregate(
+                [("o_totalprice", "count"), ("o_totalprice", "sum")]
+            )
+            return g.rename_columns(["c_mktsegment", "n_part", "p_part"])
 
     ds = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     out = (
         ds.map_batches(SegJoin, batch_format="pyarrow", concurrency=2)
         .groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
+        .aggregate(Sum("n_part", alias_name="n_orders"), Sum("p_part", alias_name="total_price"))
     )
-    return _round_col(_to_table(out), "total_price", 2)
+    t = _to_table(out)
+    t = t.set_column(
+        t.column_names.index("n_orders"), "n_orders", pc.cast(t["n_orders"], pa.int64())
+    )
+    return _round_col(t, "total_price", 2)
 
 
 # ---------------------------------------------------------------------------
@@ -752,7 +773,10 @@ def q_ivf_similarity(sf_dir: str):
 
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = _to_table(emb.filter(lambda r: r["vec_id"] == 0))["embedding"].to_pylist()[0]
-    rest = emb.filter(lambda r: r["vec_id"] != 0)
+    # materialize the probe corpus ONCE: the exact-IVF search makes several
+    # passes (centroid sample, radii, two probe waves) — re-running the
+    # read+filter chain per pass dominated wall time on this small table
+    rest = emb.filter(lambda r: r["vec_id"] != 0).materialize()
     return ivf_topk_exact(rest, np.asarray(q), k=10).select(["vec_id", "cosine"])
 
 
@@ -951,19 +975,27 @@ def q_props_extract(sf_dir: str):
     def extract(b: pa.Table) -> pa.Table:
         m = pc.extract_regex(b["props"], r'"k":\s*(?P<k>-?\d+)')
         k = pc.cast(pc.struct_field(m, "k"), pa.int64())
-        return pa.table({"event_type": b["event_type"], "k": k})
+        t = pa.table({"event_type": b["event_type"], "k": k})
+        # map-side combiner: a handful of event types per batch
+        g = t.group_by(["event_type"]).aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        return g.rename_columns(["event_type", "n_p", "s_p", "mn_p", "mx_p"])
 
     out = (
         ds.map_batches(extract, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(
-            Count(alias_name="n"),
-            Sum("k", alias_name="total_k"),
-            Min("k", alias_name="min_k"),
-            Max("k", alias_name="max_k"),
+            Sum("n_p", alias_name="n"),
+            Sum("s_p", alias_name="total_k"),
+            Min("mn_p", alias_name="min_k"),
+            Max("mx_p", alias_name="max_k"),
         )
     )
-    return _to_table(out)
+    t = _to_table(out)
+    for c in ("n", "total_k"):
+        t = t.set_column(t.column_names.index(c), c, pc.cast(t[c], pa.int64()))
+    return t
 
 
 ORACLES["props_extract"] = """
@@ -1356,14 +1388,19 @@ def q_deterministic_sample(sf_dir: str):
 
     def keep(b: pa.Table) -> pa.Table:
         did = b["doc_id"].to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(did % 10 < 3))  # deterministic 30% sample
+        f = b.filter(pa.array(did % 10 < 3))  # deterministic 30% sample
+        g = f.group_by(["source"]).aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        return g.rename_columns(["source", "n_p", "s_p"])
 
     out = (
         ds.map_batches(keep, batch_format="pyarrow")
         .groupby("source")
-        .aggregate(Count(alias_name="n_sampled"), Sum("n_chars", alias_name="chars_sampled"))
+        .aggregate(Sum("n_p", alias_name="n_sampled"), Sum("s_p", alias_name="chars_sampled"))
     )
-    return _to_table(out)
+    t = _to_table(out)
+    for c in ("n_sampled", "chars_sampled"):
+        t = t.set_column(t.column_names.index(c), c, pc.cast(t[c], pa.int64()))
+    return t
 
 
 # ---------------------------------------------------------------------------
