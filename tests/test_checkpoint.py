@@ -104,3 +104,31 @@ def test_key_check_violations_not_committed(tmp_path):
     dups2 = r2.violations.filter(pc.equal(r2.violations["code"], "E80")).num_rows
     assert dups2 == 3
     assert r2.violations.num_rows == r1.violations.num_rows
+
+
+def test_early_stop_then_resume_completes(tmp_path):
+    """Global budget stops a run mid-way; the skipped partitions were NOT
+    committed, so a resume WITHOUT the budget finishes them — the
+    checkpoint/resume contract composed with the early-stop divergence."""
+    from fastpasta_ray.pipelines.check import run_check
+    from fastpasta_ray.stages.validate import CheckConfig
+    from fastpasta_ray.synth import SynthSpec, write_fixture
+
+    d = str(tmp_path / "fix")
+    ck = str(tmp_path / "ck")
+    write_fixture(
+        d,
+        SynthSpec(n_rows=600, n_parts=12, mean_n_tok=16),
+        defect="bad_vocab",
+        defect_k=5,
+        defect_parts=tuple(range(12)),
+    )
+    stopped = run_check(
+        d, cfg=CheckConfig(max_errors_global=10), with_key_checks=False, out_dir=ck
+    )
+    assert stopped.report["stopped_early"] is True
+    assert stopped.violations.num_rows < 60
+    resumed = run_check(d, with_key_checks=False, out_dir=ck, resume=True)
+    assert resumed.report.get("stopped_early") is not True  # key absent or False
+    assert resumed.violations.num_rows == 60
+    assert resumed.report["total_rows"] == 7200
