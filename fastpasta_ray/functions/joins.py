@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -106,3 +107,98 @@ def asof_join(
         .groupby("__bucket")
         .map_groups(merge_bucket, batch_format="pyarrow")
     )
+
+
+def range_join_count(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    by: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    before_seconds: float = 0.0,
+    after_seconds: float = 300.0,
+    num_buckets: int = 64,
+    count_col: str = "n_matches",
+) -> "ray.data.Dataset":
+    """Range (interval) join Ray Data lacks natively, in COUNT form: for
+    each left row, the number of right rows of the same key with
+    ``right_ts ∈ [left_ts − before, left_ts + after]`` (inclusive).
+
+    Composition: both sides hash-bucketed by ``by`` (skew-immune, the
+    asof_join pattern) → one union groupby → per-bucket sort + two
+    vectorized searchsorteds. Equivalent SQL: a correlated COUNT over
+    ``r.ts BETWEEN l.ts - before AND l.ts + after``. Per-bucket right side
+    must fit a task (same documented assumption as asof_join)."""
+    from fastpasta_ray.sketches import hash_strings, splitmix64
+
+    def tag(side: str, ts_col: str):
+        def f(b: pa.Table) -> pa.Table:
+            col = b[by]
+            if pa.types.is_integer(col.type):
+                h = splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+            else:
+                h = hash_strings(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+            return pa.table(
+                {
+                    "__bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+                    "__side": pa.array([side] * b.num_rows, type=pa.string()),
+                    by: b[by],
+                    "__ts": pc.cast(b[ts_col], pa.timestamp("us")),
+                }
+            )
+
+        return f
+
+    lo_us = np.int64(round(before_seconds * 1_000_000))
+    hi_us = np.int64(round(after_seconds * 1_000_000))
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        l = df[df["__side"] == "l"]
+        r = df[df["__side"] == "r"].sort_values([by, "__ts"], kind="mergesort")
+        if not len(l):
+            return pa.table(
+                {
+                    by: pa.array([], type=g[by].type),
+                    "__ts": pa.array([], type=pa.timestamp("us")),
+                    count_col: pa.array([], type=pa.int64()),
+                }
+            )
+        rts = r["__ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        rkeys = r[by].to_numpy()
+        seg_new = np.r_[True, rkeys[1:] != rkeys[:-1]] if len(rkeys) else np.zeros(0, bool)
+        seg_starts = np.flatnonzero(seg_new)
+        seg_keys = rkeys[seg_starts] if len(seg_starts) else rkeys[:0]
+        seg_ends = np.r_[seg_starts[1:], len(rkeys)]
+        seg_index = {k: (int(s), int(e)) for k, s, e in zip(seg_keys, seg_starts, seg_ends)}
+        lts = l["__ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        lkeys = l[by].to_numpy()
+        cnt = np.zeros(len(lts), dtype=np.int64)
+        # group left rows by key, vectorized searchsorted per key segment
+        order = np.argsort(lkeys, kind="stable")
+        lk_s = lkeys[order]
+        starts = np.flatnonzero(np.r_[True, lk_s[1:] != lk_s[:-1]]) if len(lk_s) else np.zeros(0, np.int64)
+        for si, s in enumerate(starts):
+            e = starts[si + 1] if si + 1 < len(starts) else len(lk_s)
+            k = lk_s[s]
+            seg = seg_index.get(k)
+            if seg is None:
+                continue
+            rs, re = seg
+            sub = order[s:e]
+            t = lts[sub]
+            cnt[sub] = np.searchsorted(rts[rs:re], t + hi_us, side="right") - np.searchsorted(
+                rts[rs:re], t - lo_us, side="left"
+            )
+        return pa.table(
+            {
+                by: pa.array(lkeys),
+                "__ts": pa.array(lts).cast(pa.timestamp("us")),
+                count_col: pa.array(cnt),
+            }
+        )
+
+    lw = left.map_batches(tag("l", left_ts), batch_format="pyarrow")
+    rw = right.map_batches(tag("r", right_ts), batch_format="pyarrow")
+    return lw.union(rw).groupby("__bucket").map_groups(count_bucket, batch_format="pyarrow")

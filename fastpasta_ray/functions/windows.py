@@ -20,6 +20,64 @@ import pyarrow as pa
 import ray
 
 
+def rolling_count(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_seconds: float = 300.0,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Per-row trailing-range window count: for each event, the number of
+    events of the same key with ``ts ∈ [ts - window, ts]`` (inclusive) —
+    the RANGE-frame window aggregate Ray Data lacks natively.
+
+    Composition: hash-bucket by key (skew-immune) → per-bucket sort →
+    vectorized two-pointer (searchsorted of window starts against the
+    sorted timestamps) — O(n log n) per bucket, no per-row Python. Exactly
+    matches SQL ``COUNT(*) OVER (PARTITION BY key ORDER BY ts RANGE
+    BETWEEN INTERVAL w PRECEDING AND CURRENT ROW)``."""
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        from fastpasta_ray.sketches import hash_strings, splitmix64
+
+        col = b[key_col]
+        if pa.types.is_integer(col.type):
+            h = splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            h = hash_strings(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        return b.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    win_us = np.int64(round(window_seconds * 1_000_000))
+
+    def scan(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values([key_col, ts_col], kind="mergesort")
+        ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        keys = df[key_col].to_numpy()
+        # per-key segments within the sorted bucket
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        seg_start = np.flatnonzero(new_key)
+        # SQL RANGE-frame semantics: the frame includes ALL peers (rows of
+        # equal ts), so count = #(ts' ∈ [ts−w, ts]) via two searchsorteds
+        lo = np.empty(len(ts), dtype=np.int64)
+        hi = np.empty(len(ts), dtype=np.int64)
+        for s, e in zip(seg_start, np.r_[seg_start[1:], len(ts)]):
+            lo[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] - win_us, side="left")
+            hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e], side="right")
+        cnt = hi - lo
+        out = df.drop(columns=["bucket"]).copy()
+        out["n_in_window"] = cnt
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pyarrow")
+    )
+
+
 def sessionize(
     ds: "ray.data.Dataset",
     *,

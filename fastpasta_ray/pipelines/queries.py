@@ -1404,6 +1404,99 @@ def q_deterministic_sample(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# RANGE-frame window aggregate + range join (operators Ray Data lacks;
+# custom compositions per SURVEY §2 guidance) — both SQL-exact
+# ---------------------------------------------------------------------------
+
+def q_rolling_window_count(sf_dir: str):
+    """Summary of the per-event trailing 5-minute same-user count (the
+    RANGE window aggregate): total and max over all events."""
+    from fastpasta_ray.functions.windows import rolling_count
+
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = rolling_count(ds, window_seconds=300.0)
+    t = _to_table(out)
+    return pa.table(
+        {
+            "n_events": pa.array([t.num_rows], type=pa.int64()),
+            "total_in_window": pa.array(
+                [int(pc.sum(t["n_in_window"]).as_py())], type=pa.int64()
+            ),
+            "max_in_window": pa.array(
+                [int(pc.max(t["n_in_window"]).as_py())], type=pa.int64()
+            ),
+        }
+    )
+
+
+ORACLES["rolling_window_count"] = """
+    WITH w AS (
+        SELECT COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 300 SECOND PRECEDING
+                                        AND CURRENT ROW) AS c
+        FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(c) AS BIGINT) AS total_in_window,
+           CAST(MAX(c) AS BIGINT) AS max_in_window
+    FROM w
+"""
+QUERIES["rolling_window_count"] = q_rolling_window_count
+
+
+def q_range_join_views_near_purchase(sf_dir: str):
+    """Range join: per purchase, how many views by the same user within
+    ±30 minutes — summarized as (n_purchases, total_matches, max_matches)."""
+    from fastpasta_ray.functions.joins import range_join_count
+
+    ev = _rp(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def side(kind):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["event_type"], kind)).drop_columns(["event_type"])
+
+        return f
+
+    purchases = ev.map_batches(side("purchase"), batch_format="pyarrow")
+    views = ev.map_batches(side("view"), batch_format="pyarrow")
+    out = range_join_count(
+        purchases, views, by="user_id",
+        before_seconds=1800.0, after_seconds=1800.0,
+    )
+    t = _to_table(out)
+    return pa.table(
+        {
+            "n_purchases": pa.array([t.num_rows], type=pa.int64()),
+            "total_matches": pa.array(
+                [int(pc.sum(t["n_matches"]).as_py())], type=pa.int64()
+            ),
+            "max_matches": pa.array(
+                [int(pc.max(t["n_matches"]).as_py())], type=pa.int64()
+            ),
+        }
+    )
+
+
+ORACLES["range_join_views_near_purchase"] = """
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         j AS (
+            SELECT p.user_id, p.ts,
+                   (SELECT COUNT(*) FROM v
+                    WHERE v.user_id = p.user_id
+                      AND v.ts BETWEEN p.ts - INTERVAL 1800 SECOND
+                                   AND p.ts + INTERVAL 1800 SECOND) AS c
+            FROM p
+         )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(c) AS BIGINT) AS total_matches,
+           CAST(MAX(c) AS BIGINT) AS max_matches
+    FROM j
+"""
+QUERIES["range_join_views_near_purchase"] = q_range_join_views_near_purchase
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style per-document quality signals: within-doc repetition ratio
 # (distinct-word count) and mean word length — both SQL-exact
 # ---------------------------------------------------------------------------
