@@ -215,7 +215,11 @@ def q_constraint_lang_domain(sf_dir: str):
 def q_dup_doc_id(sf_dir: str):
     ds = _rp(sf_dir, "documents", ["doc_id"])
     agg = ds.groupby("doc_id").aggregate(Count(alias_name="n"))
-    t = _to_table(agg.filter(lambda r: r["n"] > 1))
+    t = _to_table(
+        agg.map_batches(
+            lambda b: b.filter(pc.greater(b["n"], 1)), batch_format="pyarrow"
+        )
+    )
     if t is None:
         return pa.table(
             {"doc_id": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
@@ -437,8 +441,12 @@ def q_similarity_top10(sf_dir: str):
     from fastpasta_ray.functions.similarity import cosine_topk
 
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = _to_table(emb.filter(lambda r: r["vec_id"] == 0))["embedding"].to_pylist()[0]
-    rest = emb.filter(lambda r: r["vec_id"] != 0)
+    q = _to_table(
+        emb.map_batches(lambda b: b.filter(pc.equal(b["vec_id"], 0)), batch_format="pyarrow")
+    )["embedding"].to_pylist()[0]
+    rest = emb.map_batches(
+        lambda b: b.filter(pc.not_equal(b["vec_id"], 0)), batch_format="pyarrow"
+    )
     t = cosine_topk(rest, np.asarray(q), k=10, round_to=4)
     return t.select(["vec_id", "cosine"])
 
@@ -772,11 +780,15 @@ def q_ivf_similarity(sf_dir: str):
     from fastpasta_ray.functions.similarity import ivf_topk_exact
 
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = _to_table(emb.filter(lambda r: r["vec_id"] == 0))["embedding"].to_pylist()[0]
+    q = _to_table(
+        emb.map_batches(lambda b: b.filter(pc.equal(b["vec_id"], 0)), batch_format="pyarrow")
+    )["embedding"].to_pylist()[0]
     # materialize the probe corpus ONCE: the exact-IVF search makes several
     # passes (centroid sample, radii, two probe waves) — re-running the
     # read+filter chain per pass dominated wall time on this small table
-    rest = emb.filter(lambda r: r["vec_id"] != 0).materialize()
+    rest = emb.map_batches(
+        lambda b: b.filter(pc.not_equal(b["vec_id"], 0)), batch_format="pyarrow"
+    ).materialize()
     return ivf_topk_exact(rest, np.asarray(q), k=10).select(["vec_id", "cosine"])
 
 
