@@ -139,3 +139,36 @@ def test_tdigest_accuracy_merge_serde():
     assert abs(t2.quantile(0.5) - td.quantile(0.5)) < 1e-6
     # empty digest
     assert TDigest().quantile(0.5) is None
+
+
+def test_tree_merge_stats_matches_driver_fold():
+    """Associativity contract: the Ray-task tree merge over many partials
+    equals the serial driver fold (forced through the task path with a low
+    threshold)."""
+    import numpy as np
+
+    from fastpasta_ray.checks.drift import tree_merge_stats
+    from fastpasta_ray.sketches import PartStats, hash_strings
+
+    rng = np.random.default_rng(7)
+    blobs = []
+    serial = PartStats()
+    for i in range(40):
+        ps = PartStats()
+        ps.row_count = int(rng.integers(1, 100))
+        ps.token_count = int(rng.integers(1, 10_000))
+        vals = rng.integers(0, 5000, size=200)
+        ps.token_mm.add(vals)
+        ps.vocab_bitmap.add(vals)
+        ps.n_tok_hist.add(rng.integers(1, 300, size=50))
+        ps.hll.add_hashes(hash_strings([f"d{i}-{j}" for j in range(50)]))
+        blobs.append(ps.to_json())
+        serial.merge(PartStats.from_json(ps.to_json()))
+    merged = tree_merge_stats(blobs, fanout=8, task_threshold=4)
+    assert merged.row_count == serial.row_count
+    assert merged.token_count == serial.token_count
+    assert merged.token_mm.lo == serial.token_mm.lo
+    assert merged.token_mm.hi == serial.token_mm.hi
+    assert merged.vocab_bitmap.count == serial.vocab_bitmap.count
+    assert abs(merged.hll.estimate() - serial.hll.estimate()) < 1e-9
+    assert merged.n_tok_hist.quantiles() == serial.n_tok_hist.quantiles()
