@@ -151,6 +151,65 @@ def cmd_filter(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Training-data dedup over a documents parquet (exact / minhash /
+    simhash); writes the pairs (or surviving docs for exact) as parquet."""
+    _ray_session()
+    import ray
+
+    ds = ray.data.read_parquet(args.input)
+    if args.method == "exact":
+        from fastpasta_ray.functions.dedup import drop_exact_dups
+
+        out = drop_exact_dups(ds, id_col=args.id_col, text_col=args.text_col)
+    elif args.method == "minhash":
+        from fastpasta_ray.functions.dedup import minhash_lsh_pairs
+
+        out = minhash_lsh_pairs(
+            ds, id_col=args.id_col, text_col=args.text_col, threshold=args.threshold
+        )
+    else:  # simhash
+        from fastpasta_ray.functions.dedup import exact_jaccard_verify, simhash_near_dups
+
+        cand = simhash_near_dups(
+            ds, id_col=args.id_col, text_col=args.text_col, aggregate=False
+        ).select_columns(["doc_a", "doc_b"])
+        out = exact_jaccard_verify(
+            cand, ds, threshold=args.threshold, id_col=args.id_col, text_col=args.text_col
+        )
+    out.write_parquet(args.output)
+    n = ray.data.read_parquet(args.output).count()
+    print(json.dumps({"method": args.method, "rows_out": n, "output": args.output}))
+    return 0
+
+
+def cmd_text_stats(args) -> int:
+    """Per-document text-quality signals (token counts, quality metrics,
+    language ID, repetition, fingerprints) written as parquet."""
+    _ray_session()
+    import ray
+
+    from fastpasta_ray.functions import text as ftext
+
+    ds = ray.data.read_parquet(args.input)
+    out = (
+        # repetition_metrics already carries n_words; token_count would
+        # duplicate the column
+        ds.map_batches(ftext.quality_metrics, batch_format="pyarrow")
+        .map_batches(ftext.repetition_metrics, batch_format="pyarrow")
+        .map_batches(ftext.mean_word_length, batch_format="pyarrow")
+        .map_batches(ftext.LangID(), batch_format="pyarrow", concurrency=2)
+        .map_batches(ftext.fingerprint, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.drop_columns(["text"]), batch_format="pyarrow"
+        )
+    )
+    out.write_parquet(args.output)
+    n = ray.data.read_parquet(args.output).count()
+    print(json.dumps({"rows_out": n, "output": args.output}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -209,6 +268,20 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--min-n-tok", type=int, default=None)
     f.add_argument("--max-n-tok", type=int, default=None)
     f.set_defaults(fn=cmd_filter)
+
+    dd = sub.add_parser("dedup", help="dedup a documents parquet (exact/minhash/simhash)")
+    dd.add_argument("input")
+    dd.add_argument("-o", "--output", required=True)
+    dd.add_argument("--method", choices=("exact", "minhash", "simhash"), default="exact")
+    dd.add_argument("--threshold", type=float, default=0.5, help="exact-jaccard threshold for pair output")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.set_defaults(fn=cmd_dedup)
+
+    ts = sub.add_parser("text-stats", help="per-doc quality/lang/repetition signals")
+    ts.add_argument("input")
+    ts.add_argument("-o", "--output", required=True)
+    ts.set_defaults(fn=cmd_text_stats)
 
     b = sub.add_parser("bench", help="run the benchmark")
     b.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))

@@ -636,6 +636,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 6,
+    aggregate: bool = True,
 ) -> "ray.data.Dataset":
     """Near-dups by SimHash: bucket by every pair of 8-bit blocks (28
     combos of 16 bits each). Pigeonhole: ≤6 differing bits dirty at most 6
@@ -720,6 +721,11 @@ def simhash_near_dups(
         .groupby("bucket")
         .map_groups(verify, batch_format="pyarrow")
     )
+    if not aggregate:
+        # raw candidates (a pair may appear once per shared combo key) —
+        # callers that feed exact_jaccard_verify skip this groupby since
+        # the verify exchange dedups pairs anyway
+        return pairs
     return pairs.groupby(["doc_a", "doc_b"]).min("hamming")
 
 

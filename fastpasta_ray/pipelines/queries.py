@@ -486,7 +486,7 @@ def q_simhash_pairs(sf_dir: str):
     from fastpasta_ray.functions.dedup import exact_jaccard_verify, simhash_near_dups
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=8)
-    cand = simhash_near_dups(ds).select_columns(["doc_a", "doc_b"])
+    cand = simhash_near_dups(ds, aggregate=False).select_columns(["doc_a", "doc_b"])
     t = _to_table(exact_jaccard_verify(cand, ds, threshold=0.8))
     return t if t is not None else _EMPTY_JACCARD
 
