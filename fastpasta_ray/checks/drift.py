@@ -167,12 +167,28 @@ EXACT_FIELDS = (
     "vocab_seen_count",
 )
 
+# fields that only exist when the tokens payload was read; a scalar-only
+# run (read_payload=False) legitimately reports 0/None here and must not
+# raise E9002 against a payload-derived reference snapshot
+PAYLOAD_FIELDS = frozenset(
+    ("token_count", "token_min", "token_max", "vocab_seen_count")
+)
+
+
+def _has_payload(profile: dict) -> bool:
+    return bool(profile.get("row_count")) and bool(profile.get("token_count"))
+
 
 def compare_profiles(observed: dict, reference: dict) -> list[str]:
     """Field-by-field exact comparison — one message per mismatching field
-    (validate_fields! macro analog, fastpasta/src/stats/lib.rs:9-31)."""
+    (validate_fields! macro analog, fastpasta/src/stats/lib.rs:9-31).
+    Payload-derived fields are skipped when either side comes from a
+    scalar-only (read_payload=False) run."""
     msgs = []
-    for f in EXACT_FIELDS:
+    fields = EXACT_FIELDS
+    if not _has_payload(observed) or not _has_payload(reference):
+        fields = tuple(f for f in EXACT_FIELDS if f not in PAYLOAD_FIELDS)
+    for f in fields:
         if observed.get(f) != reference.get(f):
             msgs.append(
                 S.format_message(

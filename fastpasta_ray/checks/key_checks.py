@@ -268,8 +268,12 @@ def _recover_violations(
         if code == S.E_DUP_DOCID:
             # exact string comparison vs the kept row — a 64-bit hash
             # collision between distinct doc_ids is dropped here, not
-            # reported as a false duplicate
-            if dup_ref.get(int(h[i])) != d:
+            # reported as a false duplicate. If the candidate cap severed
+            # the reference row from this candidate, fall back to trusting
+            # the hash (the pre-verification behavior) instead of silently
+            # dropping every capped duplicate.
+            ref = dup_ref.get(int(h[i]))
+            if ref is not None and ref != d:
                 continue
             detail = f"duplicate doc_id {d!r}"
             column = "doc_id"

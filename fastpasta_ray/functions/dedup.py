@@ -177,6 +177,10 @@ def word_ngram_hashes_flat(arr, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
     word n-grams — the DuckDB-checkable exact-Jaccard ground truth."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    # null text → empty string: a null list length would cast NaN→INT64_MIN
+    # and wrap the window count to ~9e18 (corrupting every later doc's
+    # offsets); "" yields one empty word and zero n-grams for n ≥ 2
+    arr = pc.fill_null(arr, "")
     toks = pc.split_pattern(arr, " ")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
@@ -299,12 +303,17 @@ def exact_jaccard_verify(
         )
 
     def attach_a(g: pa.Table) -> pa.Table:
-        sets = _sets_from_group(g)
+        empty = pa.Table.from_arrays(
+            [pa.array([], type=f.type) for f in _VERIFY_SCHEMA], schema=_VERIFY_SCHEMA
+        )
         p = g.filter(pc.equal(g["kind"], pa.scalar(0, pa.int8())))
         if not p.num_rows:
-            return pa.Table.from_arrays(
-                [pa.array([], type=f.type) for f in _VERIFY_SCHEMA], schema=_VERIFY_SCHEMA
-            )
+            return empty
+        s = g.filter(pc.equal(g["kind"], pa.scalar(1, pa.int8())))
+        set_ids = s["doc_a"].to_numpy(zero_copy_only=False)
+        flat, soff = _list_parts(s["sh"])
+        order = np.argsort(set_ids, kind="stable")
+        set_ids_s = set_ids[order]
         ab = np.stack(
             [
                 p["doc_a"].to_numpy(zero_copy_only=False),
@@ -313,24 +322,26 @@ def exact_jaccard_verify(
             axis=1,
         )
         ab = np.unique(ab, axis=0)  # dedup pairs found via multiple bands
-        out_a, out_b, out_sets = [], [], []
-        for a, b in ab:
-            sa = sets.get(int(a))
-            if sa is None or not len(sa):
-                continue  # empty set ⇒ jaccard 0 ⇒ below any threshold > 0
-            out_a.append(a)
-            out_b.append(b)
-            out_sets.append(sa)
-        if not out_a:
-            return pa.Table.from_arrays(
-                [pa.array([], type=f.type) for f in _VERIFY_SCHEMA], schema=_VERIFY_SCHEMA
-            )
-        a_arr = np.asarray(out_a, dtype=np.int64)
-        b_arr = np.asarray(out_b, dtype=np.int64)
-        off = np.zeros(len(out_sets) + 1, dtype=np.int64)
-        np.cumsum([len(s) for s in out_sets], out=off[1:])
+        # vectorized set attach: searchsorted the pair's doc_a against the
+        # sorted set owners, gather each pair's set slice via repeat+ranges
+        # (no per-pair Python — this is the scale-critical verify hop)
+        pos = np.searchsorted(set_ids_s, ab[:, 0])
+        pos = np.clip(pos, 0, max(len(set_ids_s) - 1, 0))
+        hit = set_ids_s[pos] == ab[:, 0] if len(set_ids_s) else np.zeros(len(ab), bool)
+        set_idx = order[pos]
+        set_lens = (soff[1:] - soff[:-1])[set_idx]
+        keep = hit & (set_lens > 0)  # empty set ⇒ jaccard 0 ⇒ drop
+        if not keep.any():
+            return empty
+        a_arr = ab[keep, 0]
+        b_arr = ab[keep, 1]
+        lens = set_lens[keep]
+        starts = soff[:-1][set_idx[keep]]
+        gather = np.repeat(starts, lens) + _ranges(lens)
+        off = np.zeros(len(a_arr) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
         sh = pa.LargeListArray.from_arrays(
-            off, pa.array(np.concatenate(out_sets), type=pa.uint64())
+            off, pa.array(flat[gather], type=pa.uint64())
         )
         key2 = (splitmix64(b_arr.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
         return pa.table(
@@ -627,7 +638,14 @@ class SimHasher:
         return pa.table({id_col: batch[id_col], "simhash": pa.array(out)})
 
 
-_SIMHASH_COMBOS = [(i, j) for i in range(8) for j in range(i + 1, 8)]  # C(8,2)=28
+# 9 blocks over 64 bits (widths 8,7,...,7); choose-2 combos → pigeonhole:
+# ≤7 differing bits dirty ≤7 blocks, so TWO blocks stay clean and the pair
+# shares that combo key — candidate generation GUARANTEED for Hamming ≤ 7.
+# (8 blocks guaranteed only ≤6, and the corpus' worst planted pair measured
+# exactly Hamming 6 — zero margin.)
+_SIMHASH_BLOCK_STARTS = [0, 8, 15, 22, 29, 36, 43, 50, 57]
+_SIMHASH_BLOCK_WIDTHS = [8, 7, 7, 7, 7, 7, 7, 7, 7]
+_SIMHASH_COMBOS = [(i, j) for i in range(9) for j in range(i + 1, 9)]  # C(9,2)=36
 
 
 def simhash_near_dups(
@@ -635,21 +653,25 @@ def simhash_near_dups(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 6,
+    max_hamming: int = 7,
     aggregate: bool = True,
 ) -> "ray.data.Dataset":
-    """Near-dups by SimHash: bucket by every pair of 8-bit blocks (28
-    combos of 16 bits each). Pigeonhole: ≤6 differing bits dirty at most 6
-    of 8 blocks, so some TWO blocks are clean and the pair shares that
-    combo key exactly — candidate generation is GUARANTEED for Hamming ≤
-    8-2=6. Hamming verify within buckets is a vectorized popcount (no
-    per-pair Python). At larger corpus scales trade combo width for bucket
-    population: (blocks=6, combo=2) → 21-bit keys, guarantee ≤4."""
+    """Near-dups by SimHash: bucket by every pair of the 9 bit-blocks (36
+    combos of ≤15 bits). Pigeonhole: ≤7 differing bits dirty at most 7 of
+    9 blocks, so some TWO blocks are clean and the pair shares that combo
+    key exactly — candidate generation is GUARANTEED for Hamming ≤ 7.
+    Hamming verify within buckets is a vectorized popcount (no per-pair
+    Python). At larger corpus scales trade combo width for bucket
+    population: fewer/wider blocks shrink buckets but lower the
+    guarantee; oversized buckets are capped and LOGGED, never silent."""
 
     def combo_keys(batch: pa.Table) -> pa.Table:
         h = batch["simhash"].to_numpy(zero_copy_only=False)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        blocks = [((h >> np.uint64(8 * q)) & np.uint64(0xFF)) for q in range(8)]
+        blocks = [
+            (h >> np.uint64(s)) & np.uint64((1 << w) - 1)
+            for s, w in zip(_SIMHASH_BLOCK_STARTS, _SIMHASH_BLOCK_WIDTHS)
+        ]
         keys = [
             (np.uint64(c) << np.uint64(16)) | (blocks[i] << np.uint64(8)) | blocks[j]
             for c, (i, j) in enumerate(_SIMHASH_COMBOS)

@@ -81,9 +81,18 @@ def cosine_topk(
     cand = ds.map_batches(
         CosineTopK(query_ref, k, id_col, emb_col), batch_format="pyarrow"
     )
-    t = pa.concat_tables(
-        [b for b in cand.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows]
-    )
+    parts = [
+        b for b in cand.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows
+    ]
+    if not parts:  # every row filtered upstream (e.g. an empty IVF probe wave)
+        return pa.table(
+            {
+                "query_idx": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+    t = pa.concat_tables(parts)
     df = t.to_pandas()
     df = (
         df.sort_values(["query_idx", "cosine", id_col], ascending=[True, False, True], kind="mergesort")

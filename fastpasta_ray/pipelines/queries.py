@@ -510,31 +510,53 @@ def q_hll_distinct_users(sf_dir: str):
     ds = _rp(sf_dir, "events", ["user_id"])
 
     def partial(b: pa.Table) -> pa.Table:
+        # per-batch dedup + HLL partial; the exact side ships only
+        # (unique id, bucket) pairs into a hash-bucketed distinct count —
+        # the driver never materializes the id set (that unbounded union
+        # is exactly what the sketch exists to avoid)
         u = np.unique(b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
         h = HyperLogLog()
         h.add_hashes(splitmix64(u))
         return pa.table(
             {
                 "state": pa.array([h.to_json()["registers"]], type=pa.string()),
-                "uniq": pa.array([u.astype(np.int64)], type=pa.list_(pa.int64())),
             }
         )
+
+    def uniq_rows(b: pa.Table) -> pa.Table:
+        u = np.unique(b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table(
+            {
+                "uid": pa.array(u),
+                "bucket": pa.array(
+                    (splitmix64(u.astype(np.uint64)) % np.uint64(32)).astype(np.int64)
+                ),
+            }
+        )
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        n = len(np.unique(g["uid"].to_numpy(zero_copy_only=False)))
+        return pa.table({"n": pa.array([n], type=pa.int64())})
 
     import base64
 
     merged = HyperLogLog()
-    exact: set = set()
     parts = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
-    for row, uniq in zip(parts["state"].to_pylist(), parts["uniq"].to_pylist()):
+    for row in parts["state"].to_pylist():
         merged.merge(
             HyperLogLog(14, np.frombuffer(base64.b64decode(row), dtype=np.uint8).copy())
         )
-        exact.update(uniq)
+    exact_t = _to_table(
+        ds.map_batches(uniq_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_bucket, batch_format="pyarrow")
+    )
+    n_exact = int(pc.sum(exact_t["n"]).as_py() or 0)
     est = merged.estimate()
-    ok = abs(est - len(exact)) <= 0.02 * max(len(exact), 1)
+    ok = abs(est - n_exact) <= 0.02 * max(n_exact, 1)
     return pa.table(
         {
-            "distinct_users_exact": pa.array([len(exact)], type=pa.int64()),
+            "distinct_users_exact": pa.array([n_exact], type=pa.int64()),
             "hll_within_2pct": pa.array([bool(ok)], type=pa.bool_()),
         }
     )
@@ -1167,8 +1189,11 @@ def q_q5_local_supplier_volume(sf_dir: str):
         rev = pc.multiply(
             f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"])
         ).to_numpy(zero_copy_only=False)
-        part = np.zeros(32)
-        np.add.at(part, nation[pos[hit]] % 32, rev)
+        # dense accumulator sized to the actual key domain (a fixed %32
+        # would silently alias nation keys ≥ 32 into wrong slots)
+        width = int(nation.max()) + 1 if len(nation) else 1
+        part = np.zeros(width)
+        np.add.at(part, nation[pos[hit]], rev)
         nz = np.flatnonzero(part)
         return pa.table(
             {

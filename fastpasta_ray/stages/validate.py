@@ -90,9 +90,15 @@ def _filter_codes(v: pa.Table, enabled: tuple | None) -> pa.Table:
         return v
     import pyarrow.compute as pc
 
+    # empty-string prefixes (e.g. a trailing comma in --codes) would match
+    # EVERYTHING — drop them; an empty prefix set matches nothing, like
+    # the exact is_in semantics this replaced
+    prefixes = [str(p) for p in enabled if str(p)]
+    if not prefixes:
+        return v.slice(0, 0)
     mask = None
-    for p in enabled:
-        m = pc.starts_with(v["code"], pattern=str(p))
+    for p in prefixes:
+        m = pc.starts_with(v["code"], pattern=p)
         mask = m if mask is None else pc.or_(mask, m)
     return v.filter(mask)
 
@@ -290,8 +296,12 @@ class ValidateFiles:
         # rerun them on every resume (ADVICE r1)
         part = part or _part_of(path)
         if self.error_budget is not None and emitted:
-            # partition-granular increment of the global budget
-            self.error_budget.add.remote(emitted)
+            # partition-granular increment of the global budget.
+            # SYNCHRONOUS: a fire-and-forget add could still be in the
+            # actor's mailbox when the driver reads totals after the
+            # dataset finishes, undercounting and misreporting
+            # stopped_early; one blocking RPC per partition is noise.
+            ray.get(self.error_budget.add.remote(emitted))
         # --- in-task drift gate vs the broadcast reference profile ---------
         drift_metrics = None
         if self.profile is not None:

@@ -348,20 +348,26 @@ def test_simhash_vectorized_matches_naive(texts):
         assert got[i] == exp, texts[i]
 
 
-@given(st.integers(0, 2**64 - 1), st.sets(st.integers(0, 63), min_size=0, max_size=6))
+@given(st.integers(0, 2**64 - 1), st.sets(st.integers(0, 63), min_size=0, max_size=7))
 def test_simhash_combo_guarantee(h, flip_bits):
-    """Pigeonhole: any pair within Hamming 6 shares at least one of the 28
+    """Pigeonhole: any pair within Hamming 7 shares at least one of the 36
     two-block combo keys (the candidate-generation guarantee)."""
-    from fastpasta_ray.functions.dedup import _SIMHASH_COMBOS
+    from fastpasta_ray.functions.dedup import (
+        _SIMHASH_BLOCK_STARTS,
+        _SIMHASH_BLOCK_WIDTHS,
+        _SIMHASH_COMBOS,
+    )
 
     a = np.uint64(h)
     b = a
     for bit in flip_bits:
         b = np.uint64(int(b) ^ (1 << bit))
-    blocks_a = [(int(a) >> (8 * q)) & 0xFF for q in range(8)]
-    blocks_b = [(int(b) >> (8 * q)) & 0xFF for q in range(8)]
-    shared = any(
-        blocks_a[i] == blocks_b[i] and blocks_a[j] == blocks_b[j]
-        for i, j in _SIMHASH_COMBOS
-    )
-    assert shared
+
+    def blocks(x):
+        return [
+            (int(x) >> s) & ((1 << w) - 1)
+            for s, w in zip(_SIMHASH_BLOCK_STARTS, _SIMHASH_BLOCK_WIDTHS)
+        ]
+
+    ba, bb = blocks(a), blocks(b)
+    assert any(ba[i] == bb[i] and ba[j] == bb[j] for i, j in _SIMHASH_COMBOS)
