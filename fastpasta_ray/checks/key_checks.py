@@ -31,7 +31,6 @@ All four checks ride the same single shuffle:
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 import pyarrow as pa

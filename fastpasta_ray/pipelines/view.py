@@ -9,7 +9,6 @@ driver-side — formatting is presentation, not a distributed concern.
 
 from __future__ import annotations
 
-import pyarrow as pa
 
 from fastpasta_ray.sources.parquet import read_sequences
 
