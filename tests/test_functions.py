@@ -346,3 +346,39 @@ def test_multimodal_resize_and_video_sampler():
         concurrency=1, **MEDIA_BATCH_KWARGS,
     ).to_pandas()
     assert list(v.groupby("media_id")["frame_idx"].count()) == [2, 2]
+
+
+def test_cli_dedup_and_text_stats(tmp_path):
+    """CLI surface for the training-data operators (in-process main())."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from fastpasta_ray.cli import main
+
+    src = str(tmp_path / "docs.parquet")
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta theta",  # exact dup
+        "one two three four five six seven eight nine ten",
+    ]
+    pq.write_table(docs_table(texts), src)
+    import pyarrow as pa
+
+    out1 = str(tmp_path / "kept")
+    assert main(["dedup", src, "-o", out1, "--method", "exact"]) == 0
+    kept = pa.concat_tables([pq.read_table(f) for f in glob.glob(out1 + "/*.parquet")])
+    assert kept.num_rows == 2  # dup dropped
+
+    out2 = str(tmp_path / "pairs")
+    assert main(["dedup", src, "-o", out2, "--method", "minhash", "--threshold", "0.9"]) == 0
+    pair_files = [pq.read_table(f) for f in glob.glob(out2 + "/*.parquet")]
+    pairs = pa.concat_tables([t for t in pair_files if t.num_rows])
+    assert pairs.num_rows == 1
+    assert (pairs["doc_a"][0].as_py(), pairs["doc_b"][0].as_py()) == (0, 1)
+
+    out3 = str(tmp_path / "stats")
+    assert main(["text-stats", src, "-o", out3]) == 0
+    st = pa.concat_tables([pq.read_table(f) for f in glob.glob(out3 + "/*.parquet")])
+    assert st.num_rows == 3
+    assert "rep_ratio" in st.column_names and "lang_pred" in st.column_names
