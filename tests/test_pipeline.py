@@ -369,3 +369,43 @@ def test_expected_index_stride_period_check(fixtures_dir):
     )
     assert res.violations.num_rows > 0
     assert set(res.violations["code"].to_pylist()) == {"E44"}
+
+
+def test_composite_defect_taxonomy(tmp_path):
+    """One run over a corpus carrying SIX defect families at once — the
+    full error-code taxonomy fires in a single pass and nothing masks
+    anything else (integration analog of running every golden corpus file
+    through one `check all`)."""
+    import pyarrow.parquet as pq
+
+    from fastpasta_ray import synth as SY
+
+    d = str(tmp_path / "composite")
+    os.makedirs(d)
+    spec = SynthSpec(n_rows=300, n_parts=1, mean_n_tok=24)
+    rng = np.random.default_rng(11)
+    tables = []
+    expected_codes = set()
+    injectors = [
+        ("bad_len", SY.inject_bad_len, {"E10"}),
+        ("bad_vocab", SY.inject_bad_vocab, {"E70"}),
+        ("bad_null_source", SY.inject_bad_null_source, {"E40"}),
+        ("bad_dup_doc_id", SY.inject_bad_dup_doc_id, {"E80"}),
+        ("bad_order", SY.inject_bad_order, {"E11"}),
+        ("truncated", SY.inject_truncated, {"E100", "E10"}),
+    ]
+    for i, (name, fn, codes) in enumerate(injectors):
+        t = SY.gen_partition(spec, i)
+        t, _rows = fn(t, rng, 3)
+        pq.write_table(t, os.path.join(d, f"{SY.part_name(i)}.parquet"))
+        expected_codes |= codes
+    res = run_check(d, with_key_checks=True)
+    got_codes = set(res.violations["code"].to_pylist())
+    # every expected family fires; E13 may ride along with null-doc defects
+    assert expected_codes <= got_codes, (expected_codes - got_codes,
+                                         sorted(got_codes))
+    # per-partition isolation: bad_len's partition has no E70 etc.
+    v = res.violations.to_pandas()
+    assert set(v[v.part == "part-0001"].code) <= {"E70"}
+    assert set(v[v.part == "part-0000"].code) <= {"E10"}
+    assert res.report["stopped_early"] is not True if "stopped_early" in res.report else True
