@@ -382,3 +382,81 @@ def test_cli_dedup_and_text_stats(tmp_path):
     st = pa.concat_tables([pq.read_table(f) for f in glob.glob(out3 + "/*.parquet")])
     assert st.num_rows == 3
     assert "rep_ratio" in st.column_names and "lang_pred" in st.column_names
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_rolling_count_matches_bruteforce(seed):
+    """Differential test incl. DUPLICATE timestamps (SQL RANGE-frame peer
+    semantics: all equal-ts rows count) against an O(n²) reference."""
+    import pandas as pd
+
+    from fastpasta_ray.functions.windows import rolling_count
+
+    rng = np.random.default_rng(seed)
+    n = 120
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 3600, n), unit="s"
+    )
+    users = rng.integers(0, 5, n)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "user_id": pa.array(users, type=pa.int64()),
+            "ts": pa.array(ts),
+        }
+    )
+    out = (
+        rolling_count(ray.data.from_arrow(t), window_seconds=300.0, num_buckets=8)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    tsv = ts.astype("datetime64[us]").astype("int64").to_numpy()
+    win = 300 * 1_000_000
+    expect = np.array(
+        [
+            ((users == users[i]) & (tsv >= tsv[i] - win) & (tsv <= tsv[i])).sum()
+            for i in range(n)
+        ]
+    )
+    got = out.sort_values("event_id")["n_in_window"].to_numpy()
+    assert np.array_equal(got, expect)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_range_join_count_matches_bruteforce(seed):
+    import pandas as pd
+
+    from fastpasta_ray.functions.joins import range_join_count
+
+    rng = np.random.default_rng(seed + 100)
+    nl, nr = 40, 80
+    base = pd.to_datetime("2024-01-01")
+    lt = base + pd.to_timedelta(rng.integers(0, 7200, nl), unit="s")
+    rt = base + pd.to_timedelta(rng.integers(0, 7200, nr), unit="s")
+    lu = rng.integers(0, 4, nl)
+    ru = rng.integers(0, 4, nr)
+    left = pa.table({"user_id": pa.array(lu, type=pa.int64()), "ts": pa.array(lt)})
+    right = pa.table({"user_id": pa.array(ru, type=pa.int64()), "ts": pa.array(rt)})
+    out = (
+        range_join_count(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            by="user_id", before_seconds=600.0, after_seconds=600.0, num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "__ts"])
+        .reset_index(drop=True)
+    )
+    ltv = lt.astype("datetime64[us]").astype("int64").to_numpy()
+    rtv = rt.astype("datetime64[us]").astype("int64").to_numpy()
+    win = 600 * 1_000_000
+    rows = []
+    for i in range(nl):
+        c = ((ru == lu[i]) & (rtv >= ltv[i] - win) & (rtv <= ltv[i] + win)).sum()
+        rows.append((lu[i], ltv[i], c))
+    exp = (
+        pd.DataFrame(rows, columns=["user_id", "ts_us", "n"])
+        .sort_values(["user_id", "ts_us"])
+        .reset_index(drop=True)
+    )
+    assert list(out["n_matches"]) == list(exp["n"])
