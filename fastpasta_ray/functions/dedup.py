@@ -4,12 +4,16 @@ Scale design (the part that matters at 10^12 docs):
 - exact: fingerprint (64-bit content hash) per doc in map_batches, then ONE
   hash-bucketed groupby over the fingerprint — only (id, fingerprint) pairs
   move through the shuffle, never the text.
-- MinHash+LSH: per-doc signatures computed vectorized in map_batches
-  (stateful actor holds the permutation seeds), banded into (band, band_hash)
-  keys, groupby over band buckets → candidate pairs, verified by signature
-  similarity. Only signatures shuffle (k×8 bytes/doc).
-- SimHash: 64-bit signature; near-dup = same signature bucket per rotation
-  table; Hamming verify within buckets.
+- MinHash+LSH: per-doc signatures computed vectorized in map_batches,
+  banded into (id, band_hash) keys (16 B/row × bands — signatures never
+  shuffle), groupby over coarse band buckets → candidate pairs (capped,
+  drops LOGGED), then ``exact_jaccard_verify``: a DISTRIBUTED exact
+  word-n-gram Jaccard check via two further bucketed exchanges — no
+  driver-side materialization of candidates or signatures.
+- SimHash: 64-bit signature (fully vectorized); candidate generation is
+  GUARANTEED for Hamming ≤ 7 by 9-block/choose-2 combo keys (pigeonhole);
+  popcount-LUT Hamming verify within buckets, then the same exact-Jaccard
+  verify.
 
 All return plain datasets so callers can write/inspect; nothing
 materializes the corpus on the driver.
@@ -52,7 +56,7 @@ def exact_dup_groups(
     One shuffle over (id, fingerprint) only."""
 
     def fp(batch: pa.Table) -> pa.Table:
-        h = hash_strings(batch[text_col].combine_chunks() if isinstance(batch[text_col], __import__("pyarrow").ChunkedArray) else batch[text_col])
+        h = hash_strings(batch[text_col])
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -96,7 +100,7 @@ def drop_exact_dups(
     per-group first, the canonical exact-dedup plan."""
 
     def fp(batch: pa.Table) -> pa.Table:
-        h = hash_strings(batch[text_col].combine_chunks() if isinstance(batch[text_col], __import__("pyarrow").ChunkedArray) else batch[text_col])
+        h = hash_strings(batch[text_col])
         return batch.append_column("fingerprint", pa.array(h.astype(np.uint64))).append_column(
             "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
         )
