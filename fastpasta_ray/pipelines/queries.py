@@ -1539,6 +1539,76 @@ QUERIES["range_join_views_near_purchase"] = q_range_join_views_near_purchase
 
 
 # ---------------------------------------------------------------------------
+# sequence packing (training-batch prep): NEXT-FIT bins over doc_id order,
+# SQL-exact via a row-by-row recursive CTE
+# ---------------------------------------------------------------------------
+
+_PACK_CTX = 4096
+
+
+def q_sequence_packing(sf_dir: str):
+    """Next-fit packing of documents (by n_chars, doc_id order) into
+    4096-char bins — summary (n_bins, total packed, max bin fill, max
+    docs in one bin). Deterministic: bins are a pure function of row
+    order, which the recursive-CTE oracle replays exactly."""
+    from fastpasta_ray.functions.packing import pack_sequences
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "n_chars"], blocks=1)
+
+    def ordered(b: pa.Table) -> pa.Table:
+        # one block → one batch → one packing domain in doc_id order
+        return b.sort_by("doc_id").append_column(
+            "part", pa.array(["all"] * b.num_rows, type=pa.string())
+        )
+
+    bins = _to_table(
+        pack_sequences(
+            ds.map_batches(ordered, batch_format="pyarrow", batch_size=None),
+            context_len=_PACK_CTX,
+            n_tok_col="n_chars",
+        )
+    )
+    return pa.table(
+        {
+            "n_bins": pa.array([bins.num_rows], type=pa.int64()),
+            "total_packed": pa.array(
+                [int(pc.sum(bins["total_tok"]).as_py() or 0)], type=pa.int64()
+            ),
+            "max_fill": pa.array(
+                [int(pc.max(bins["total_tok"]).as_py() or 0)], type=pa.int64()
+            ),
+            "max_docs_per_bin": pa.array(
+                [int(pc.max(bins["n_docs"]).as_py() or 0)], type=pa.int64()
+            ),
+        }
+    )
+
+
+ORACLES["sequence_packing"] = f"""
+    WITH RECURSIVE o AS (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+        FROM documents
+    ), r AS (
+        SELECT rn, n_chars, 1 AS bin, n_chars AS fill FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.rn, o.n_chars,
+               CASE WHEN r.fill + o.n_chars <= {_PACK_CTX}
+                    THEN r.bin ELSE r.bin + 1 END,
+               CASE WHEN r.fill + o.n_chars <= {_PACK_CTX}
+                    THEN r.fill + o.n_chars ELSE o.n_chars END
+        FROM r JOIN o ON o.rn = r.rn + 1
+    )
+    SELECT CAST(MAX(bin) AS BIGINT) AS n_bins,
+           CAST(SUM(n_chars) AS BIGINT) AS total_packed,
+           CAST((SELECT MAX(s) FROM (SELECT SUM(n_chars) AS s FROM r GROUP BY bin)) AS BIGINT) AS max_fill,
+           CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM r GROUP BY bin)) AS BIGINT) AS max_docs_per_bin
+    FROM r
+"""
+QUERIES["sequence_packing"] = q_sequence_packing
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style per-document quality signals: within-doc repetition ratio
 # (distinct-word count) and mean word length — both SQL-exact
 # ---------------------------------------------------------------------------

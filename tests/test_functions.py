@@ -460,3 +460,53 @@ def test_range_join_count_matches_bruteforce(seed):
         .reset_index(drop=True)
     )
     assert list(out["n_matches"]) == list(exp["n"])
+
+
+def test_next_fit_bins_exact():
+    from fastpasta_ray.functions.packing import next_fit_bins
+
+    nt = np.array([100, 200, 300, 250, 900, 50, 60])
+    bins = next_fit_bins(nt, context_len=512)
+    # [100+200] fits, +300 overflows -> bin1 [300], +250 overflows? 300+250=550>512 -> bin2...
+    assert list(bins) == [0, 0, 1, 2, 3, 4, 4]
+    # oversized row gets its own bin, stream continues
+    assert list(next_fit_bins(np.array([600, 10]), 512)) == [0, 1]
+    assert list(next_fit_bins(np.array([], dtype=np.int64), 512)) == []
+
+
+def test_pack_sequences_operator():
+    from fastpasta_ray.functions.packing import pack_sequences
+
+    t = pa.table(
+        {
+            "part": pa.array(["p0"] * 5),
+            "doc_id": pa.array([f"d{i}" for i in range(5)]),
+            "n_tok": pa.array([100, 200, 300, 250, 900], type=pa.int32()),
+        }
+    )
+    out = pack_sequences(ray.data.from_arrow(t), context_len=512).to_pandas()
+    out = out.sort_values("bin").reset_index(drop=True)
+    assert list(out["n_docs"]) == [2, 1, 1, 1]
+    assert list(out["total_tok"]) == [300, 300, 250, 900]
+    assert list(out["first_doc"]) == ["d0", "d2", "d3", "d4"]
+    assert (out["fill_ratio"] <= 900 / 512 + 1e-9).all()
+
+
+def test_deterministic_shuffle_layout_independent():
+    from fastpasta_ray.functions.packing import deterministic_shuffle
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:04d}" for i in range(2000)]),
+            "v": pa.array(range(2000)),
+        }
+    )
+    a = deterministic_shuffle(ray.data.from_arrow(t)).to_pandas()["v"].tolist()
+    b = (
+        deterministic_shuffle(ray.data.from_arrow(t).repartition(7))
+        .to_pandas()["v"].tolist()
+    )
+    assert a == b                      # layout-independent
+    assert a != sorted(a)              # actually shuffled
+    c = deterministic_shuffle(ray.data.from_arrow(t), salt=9).to_pandas()["v"].tolist()
+    assert c != a                      # independent permutation per salt
