@@ -510,3 +510,30 @@ def test_deterministic_shuffle_layout_independent():
     assert a != sorted(a)              # actually shuffled
     c = deterministic_shuffle(ray.data.from_arrow(t), salt=9).to_pandas()["v"].tolist()
     assert c != a                      # independent permutation per salt
+
+
+def test_pack_sequences_over_fixture(tmp_path):
+    """Packing over a real sequences fixture (per-partition bins; every doc
+    packed exactly once; fill never exceeds the context unless a single
+    doc does)."""
+    from fastpasta_ray.functions.packing import pack_sequences
+    from fastpasta_ray.sources.parquet import read_sequences
+    from fastpasta_ray.synth import SynthSpec, write_fixture
+
+    d = str(tmp_path / "fix")
+    write_fixture(d, SynthSpec(n_rows=500, n_parts=3, mean_n_tok=64), manifest=False)
+    ds = read_sequences(d, columns=["doc_id", "n_tok"])
+    bins = pack_sequences(ds, context_len=1024).to_pandas()
+    assert set(bins["part"]) == {"part-0000", "part-0001", "part-0002"}
+    assert bins["n_docs"].sum() == 1500          # every doc packed once
+    assert (bins["total_tok"] <= 1024).all() | (bins["n_docs"] == 1).any()
+    over = bins[bins["total_tok"] > 1024]
+    assert (over["n_docs"] == 1).all()           # only oversize singletons
+    # deterministic: re-run gives identical bins
+    bins2 = pack_sequences(ds, context_len=1024).to_pandas()
+    pdcols = ["part", "bin", "n_docs", "total_tok"]
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        bins[pdcols].sort_values(["part", "bin"]).reset_index(drop=True),
+        bins2[pdcols].sort_values(["part", "bin"]).reset_index(drop=True),
+    )
