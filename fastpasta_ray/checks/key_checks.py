@@ -455,10 +455,9 @@ def key_checks(
     # objects dominate wall time when tasks are tiny (2048 returns at 64
     # files × 32 buckets cost ~0.7 s of pure overhead); at cluster scale
     # the group size naturally grows with files-per-core
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
+    from fastpasta_ray.sources.parquet import cluster_cpus
+
+    cpus = cluster_cpus()
     group = max(1, (len(files) + cpus - 1) // cpus)
     # exchange mode by estimated size: "packed" returns each map output as
     # ONE plasma object (zero-copy mmap reads on-node — 2.3× faster at

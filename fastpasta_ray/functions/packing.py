@@ -61,37 +61,59 @@ def pack_sequences(
 ) -> "ray.data.Dataset":
     """Per-partition next-fit packing summary: one row per bin —
     (part, bin, n_docs, total_tok, fill_ratio, first_doc). Runs inside
-    ``map_batches`` over per-file ordered batches (zero shuffle); bins
-    never span partition files so a resumed run repacks only unfinished
-    partitions. Assumes the caller feeds whole files per task (the
-    ``read_sequences``/``file_dataset`` contract; a mid-file batch split
-    would start a fresh bin at the boundary)."""
+    ``map_batches`` over per-file ordered batches (zero shuffle); batches
+    spanning several files are split by ``part_col`` so bins NEVER cross
+    partition files and a resumed run repacks only unfinished partitions.
+    Bin ids are the first row's ``row_index`` when positions are present
+    (unique within a part even across batch splits); a mid-file batch
+    split starts a fresh bin at the boundary (documented divergence from
+    single-pass packing — bins are per-(part, contiguous-batch))."""
 
-    def pack(batch: pa.Table) -> pa.Table:
+    def pack_one(batch: pa.Table, part: str) -> pa.Table:
         nt = batch[n_tok_col].to_numpy(zero_copy_only=False).astype(np.int64)
         bins = next_fit_bins(nt, context_len)
         n_bins = int(bins[-1]) + 1 if len(bins) else 0
-        total = np.zeros(n_bins, dtype=np.int64)
-        np.add.at(total, bins, nt)
+        total = np.bincount(bins, weights=nt, minlength=n_bins).astype(np.int64)
         n_docs = np.bincount(bins, minlength=n_bins)
         first_idx = np.zeros(n_bins, dtype=np.int64)
         first_idx[bins[::-1]] = np.arange(len(bins) - 1, -1, -1)
-        part = (
-            batch[part_col][0].as_py()
-            if part_col in batch.column_names and batch.num_rows
-            else ""
-        )
+        # bin id = row_index of the bin's first row when positions are
+        # available: unique and stable within a part even if one file's
+        # rows arrive split across several batches (a local 0..k counter
+        # would collide across batches); falls back to the local index
+        # (single-batch callers)
+        if "row_index" in batch.column_names and n_bins:
+            ri = batch["row_index"].to_numpy(zero_copy_only=False)
+            bin_ids = ri[first_idx].astype(np.int64)
+        else:
+            bin_ids = np.arange(n_bins)
         ids = batch[id_col]
         return pa.table(
             {
                 "part": pa.array([part] * n_bins, type=pa.string()),
-                "bin": pa.array(np.arange(n_bins)),
+                "bin": pa.array(bin_ids),
                 "n_docs": pa.array(n_docs.astype(np.int64)),
                 "total_tok": pa.array(total),
                 "fill_ratio": pa.array(total / float(context_len)),
                 "first_doc": ids.take(pa.array(first_idx)) if n_bins else pa.array([], type=ids.type),
             }
         )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        # a batch may span several partition FILES (file_dataset groups
+        # files per task at low CPU counts and Ray coalesces the per-file
+        # yields): pack each part independently so bins never cross files
+        if part_col not in batch.column_names or batch.num_rows == 0:
+            return pack_one(batch, "")
+        parts = np.asarray(batch[part_col].to_pylist(), dtype=object)
+        seg_new = np.r_[True, parts[1:] != parts[:-1]]
+        starts = np.flatnonzero(seg_new)
+        ends = np.r_[starts[1:], len(parts)]
+        outs = [
+            pack_one(batch.slice(s, e - s), str(parts[s]))
+            for s, e in zip(starts, ends)
+        ]
+        return pa.concat_tables(outs)
 
     return ds.map_batches(pack, batch_format="pyarrow", batch_size=None)
 
@@ -115,7 +137,10 @@ def deterministic_shuffle(
 
     return (
         ds.map_batches(keyed, batch_format="pyarrow")
-        .sort("__shuffle_key")
+        # secondary key breaks hash ties (duplicate keys / 64-bit birthday
+        # collisions at 10^12 rows) — without it tied rows order by block
+        # layout and the shuffle stops being a pure function of the data
+        .sort(["__shuffle_key", key_col])
         .map_batches(
             lambda b: b.drop_columns(["__shuffle_key"]), batch_format="pyarrow"
         )

@@ -103,11 +103,9 @@ def run_check(
         # exchange width ∝ cluster size: enough buckets to keep every core
         # busy in the reduce, few enough that per-shard object overhead
         # stays negligible (measured r2: nb=32 beats 16/64/128 at 32 cpus)
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        num_buckets = max(16, min(256, cpus))
+        from fastpasta_ray.sources.parquet import cluster_cpus
+
+        num_buckets = max(16, min(256, cluster_cpus()))
 
     committed: dict[str, dict] = {}
     if out_dir is not None:

@@ -43,10 +43,9 @@ def _rp(sf_dir: str, table: str, columns=None, blocks: int | None = None):
             rows = _pq.ParquetFile(path).metadata.num_rows
         except Exception:
             rows = 0
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
+        from fastpasta_ray.sources.parquet import cluster_cpus
+
+        cpus = cluster_cpus()
         # ~75k rows per block (sweep: lineitem 600k rows is fastest at 8
         # blocks; 2 blocks pays serial sort, 64 blocks pays per-block
         # shuffle overhead — 5 MB of events at default blocking cost 2.3 s

@@ -31,6 +31,16 @@ DEFAULT_BATCH_ROWS = 8192
 TARGET_BATCH_BYTES = 32 << 20  # ~32 MiB of Arrow data per streamed batch
 
 
+def cluster_cpus(default: int = 8) -> int:
+    """CPU count of the (initialized) Ray cluster; ``default`` when Ray is
+    not up or still warming (guards the CPU=0 warmup window too)."""
+    try:
+        n = int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        n = default
+    return n or default
+
+
 def auto_batch_rows(path: str, target_bytes: int = TARGET_BATCH_BYTES) -> int:
     """Memory-aware batch sizing from parquet metadata: a batch should be
     ~target_bytes regardless of row width. 64-token rows → big batches;
@@ -105,11 +115,7 @@ def file_dataset(files: list[str]) -> "ray.data.Dataset":
     at high CPU counts that is one block per file (fine-grained balance);
     at low counts several files share a task, trimming per-task scheduling
     overhead that would otherwise dominate the serial ladder."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    blocks = max(1, min(len(files), cpus * 4))
+    blocks = max(1, min(len(files), cluster_cpus() * 4))
     return ray.data.from_items([{"path": p} for p in files], override_num_blocks=blocks)
 
 

@@ -526,9 +526,10 @@ def test_pack_sequences_over_fixture(tmp_path):
     bins = pack_sequences(ds, context_len=1024).to_pandas()
     assert set(bins["part"]) == {"part-0000", "part-0001", "part-0002"}
     assert bins["n_docs"].sum() == 1500          # every doc packed once
-    assert (bins["total_tok"] <= 1024).all() | (bins["n_docs"] == 1).any()
-    over = bins[bins["total_tok"] > 1024]
-    assert (over["n_docs"] == 1).all()           # only oversize singletons
+    # every bin fits the context OR is an oversize singleton
+    assert ((bins["total_tok"] <= 1024) | (bins["n_docs"] == 1)).all()
+    # (part, bin) keys unique even if a file split across batches
+    assert not bins.duplicated(subset=["part", "bin"]).any()
     # deterministic: re-run gives identical bins
     bins2 = pack_sequences(ds, context_len=1024).to_pandas()
     pdcols = ["part", "bin", "n_docs", "total_tok"]
