@@ -71,6 +71,7 @@ def build_profile(stats_by_part: dict[str, PartStats], violations_by_code: dict[
     return {
         "row_count": g.row_count,
         "token_count": g.token_count,
+        "has_payload": g.has_payload,
         "doc_id_hll_estimate": round(g.hll.estimate(), 2),
         "n_tok_quantiles": g.n_tok_hist.quantiles(),
         "n_tok_min": g.n_tok_hist.min(),
@@ -176,6 +177,11 @@ PAYLOAD_FIELDS = frozenset(
 
 
 def _has_payload(profile: dict) -> bool:
+    # explicit flag (ADVICE r2: set at build time from cfg.read_payload —
+    # an all-empty-token payload run still compares token fields); profiles
+    # from before the flag fall back to count inference
+    if "has_payload" in profile:
+        return bool(profile["has_payload"])
     return bool(profile.get("row_count")) and bool(profile.get("token_count"))
 
 

@@ -73,16 +73,37 @@ def run_custom_checks(batch: pa.Table, cfg: CheckConfig) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 def save_config(cfg: CheckConfig, path: str) -> None:
+    """Write a checks config; format follows the extension — ``.toml`` →
+    TOML (the reference's user-facing config format, --checks-toml /
+    custom_checks_cfg.rs:7-28), anything else → JSON. TOML has no null:
+    None-valued fields are omitted and load back as dataclass defaults
+    (every CheckConfig field's default is None or non-None-stable, so the
+    round trip is lossless)."""
     d = asdict(cfg)
     d["source_domain"] = list(d["source_domain"])
     d["enabled_codes"] = list(d["enabled_codes"]) if d["enabled_codes"] else None
     with open(path, "w") as f:
-        json.dump(d, f, indent=2, sort_keys=True)
+        if path.endswith(".toml"):
+            from fastpasta_ray.pipelines.check import dump_toml
+
+            f.write(dump_toml(d))
+        else:
+            json.dump(d, f, indent=2, sort_keys=True)
 
 
 def load_config(path: str) -> CheckConfig:
-    with open(path) as f:
-        d = json.load(f)
+    """Read a checks config written by save_config (or hand-edited);
+    ``.toml`` → tomllib, else JSON (--checks-toml analog,
+    config.rs:205-216). Unknown fields fail loudly (the reference's serde
+    deny_unknown_fields behavior)."""
+    if path.endswith(".toml"):
+        import tomllib
+
+        with open(path, "rb") as f:
+            d = tomllib.load(f)
+    else:
+        with open(path) as f:
+            d = json.load(f)
     known = set(CheckConfig.__dataclass_fields__)
     unknown = sorted(set(d) - known)
     if unknown:
@@ -97,7 +118,8 @@ def load_config(path: str) -> CheckConfig:
 
 
 def generate_template(path: str) -> None:
-    """Write a default config template (--generate-checks-toml analog)."""
+    """Write a default config template (--generate-checks-toml analog,
+    config.rs:383-447; .toml extension → TOML template)."""
     save_config(CheckConfig(), path)
 
 

@@ -158,6 +158,32 @@ def cmd_dedup(args) -> int:
     import ray
 
     ds = ray.data.read_parquet(args.input)
+    id_col = args.id_col
+    if args.method in ("minhash", "simhash"):
+        # the pair exchanges ship slim int64 ids; string-id corpora get an
+        # auto surrogate (ADVICE r2 — was a hard crash deep in the exchange)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(
+            args.input
+            if args.input.endswith(".parquet")
+            else __import__("glob").glob(args.input.rstrip("/") + "/*.parquet")[0]
+        )
+        if not pa.types.is_integer(schema.field(args.id_col).type):
+            from fastpasta_ray.functions.dedup import with_hashed_ids
+
+            ds = with_hashed_ids(ds, args.id_col)
+            id_col = "doc_id64"
+            print(
+                json.dumps(
+                    {
+                        "note": f"id column {args.id_col!r} is not integer; "
+                        "pairs are reported as 64-bit id hashes (doc_id64)"
+                    }
+                )
+            )
+    args.id_col = id_col
     if args.method == "exact":
         from fastpasta_ray.functions.dedup import drop_exact_dups
 
@@ -248,7 +274,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--checkpoint-dir", default=None)
     c.add_argument("--resume", action="store_true")
     c.add_argument("--checks-config", default=None,
-                   help="JSON config file (overrides other check flags; --checks-toml analog)")
+                   help="checks config file, .toml or .json by extension "
+                        "(overrides other check flags; --checks-toml analog)")
     c.set_defaults(fn=cmd_check)
 
     g = sub.add_parser("generate-config", help="write a default checks-config template")

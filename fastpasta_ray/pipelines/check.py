@@ -151,6 +151,12 @@ def run_check(
         )
         if kv_t.num_rows:
             violations = pa.concat_tables([violations, kv_t])
+            if budget is not None:
+                # key-check violations count against the global budget too
+                # (ADVICE r2) — they arrive after pass 1 so they can't stop
+                # it, but global_error_count / stopped_early must include
+                # them to match the reference's max_tolerate_errors scope
+                ray.get(budget.add.remote(kv_t.num_rows))
 
     # ---- restore committed partitions from the checkpoint store ----------
     # (new partitions were committed IN-TASK the moment each finished —

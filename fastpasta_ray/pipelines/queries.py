@@ -1069,8 +1069,11 @@ def q_q3_shipping_priority(sf_dir: str):
         # broadcast semi-join (task-pool fn; ray.get is zero-copy plasma)
         keys = ray.get(seg_keys)
         ck = b["o_custkey"].to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
-        return b.filter(pa.array(keys[pos] == ck))
+        # empty-domain guard (ADVICE r2): no BUILDING customers → clip
+        # to -1 would index the empty array; return an empty batch instead
+        pos = np.clip(np.searchsorted(keys, ck), 0, max(len(keys) - 1, 0))
+        hit = keys[pos] == ck if len(keys) else np.zeros(len(ck), bool)
+        return b.filter(pa.array(hit))
 
     orders = _to_table(
         _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
@@ -1091,8 +1094,8 @@ def q_q3_shipping_priority(sf_dir: str):
         # the broadcast already assumes)
         keys = ray.get(lookup_ref)
         lk = b["l_orderkey"].to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(keys, lk), 0, len(keys) - 1)
-        hit = keys[pos] == lk
+        pos = np.clip(np.searchsorted(keys, lk), 0, max(len(keys) - 1, 0))
+        hit = keys[pos] == lk if len(keys) else np.zeros(len(lk), bool)
         f = b.filter(pa.array(hit))
         pos = pos[hit]
         rev = pc.multiply(

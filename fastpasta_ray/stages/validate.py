@@ -180,7 +180,7 @@ class ValidateFiles:
 
     def validate_file(self, path: str) -> Iterator[pa.Table]:
         cfg = self.cfg
-        stats = PartStats(vocab=cfg.vocab)
+        stats = PartStats(vocab=cfg.vocab, has_payload=cfg.read_payload)
         running = (
             RunningState(cfg.expected_index_stride) if cfg.running_checks else None
         )
@@ -295,15 +295,9 @@ class ValidateFiles:
         # fallback would collide commit records across empty files and
         # rerun them on every resume (ADVICE r1)
         part = part or _part_of(path)
-        if self.error_budget is not None and emitted:
-            # partition-granular increment of the global budget.
-            # SYNCHRONOUS: a fire-and-forget add could still be in the
-            # actor's mailbox when the driver reads totals after the
-            # dataset finishes, undercounting and misreporting
-            # stopped_early; one blocking RPC per partition is noise.
-            ray.get(self.error_budget.add.remote(emitted))
         # --- in-task drift gate vs the broadcast reference profile ---------
         drift_metrics = None
+        n_drift = 0
         if self.profile is not None:
             from fastpasta_ray.checks.drift import drift_check
 
@@ -316,12 +310,35 @@ class ValidateFiles:
             dv = _filter_codes(dv, cfg.enabled_codes)
             if dv.num_rows:
                 yield dv
+            n_drift = dv.num_rows
             drift_metrics = dm.get(part)
             if dv.num_rows and self.checkpoint_dir is not None:
                 own_violations.append(dv)
+        if self.error_budget is not None and (emitted or n_drift):
+            # partition-granular increment of the global budget — counts
+            # row/running AND drift-gate violations (ADVICE r2; key-check
+            # violations are global and added by run_check after the
+            # exchange). SYNCHRONOUS: a fire-and-forget add could still be
+            # in the actor's mailbox when the driver reads totals after the
+            # dataset finishes, undercounting and misreporting
+            # stopped_early; one blocking RPC per partition is noise.
+            ray.get(self.error_budget.add.remote(emitted + n_drift))
         # --- commit this partition NOW (task-local, atomic) ----------------
         if self.checkpoint_dir is not None:
             from fastpasta_ray.state.checkpoint import CheckpointStore
+
+            # test hook: stagger commits by the part ordinal so a
+            # kill-and-resume test has a DETERMINISTIC mid-run window
+            # (concurrent partitions otherwise commit within milliseconds
+            # of each other and a SIGKILL can land after all of them —
+            # the r2 flake). No-op unless explicitly configured.
+            stagger = self.cfg.extra.get("test_commit_stagger_s")
+            if stagger:
+                import re as _re
+                import time as _time
+
+                m = _re.search(r"(\d+)$", part)
+                _time.sleep(float(stagger) * (int(m.group(1)) if m else 0))
 
             store = CheckpointStore(self.checkpoint_dir)
             pv = (

@@ -28,7 +28,16 @@ from fastpasta_ray.pipelines.check import run_check
 from fastpasta_ray.stages.validate import CheckConfig
 d, out = sys.argv[1], sys.argv[2]
 print("STARTED", flush=True)
-run_check(d, out_dir=out, with_key_checks=False)
+# staggered commits (test hook): part k commits ~0.12*k s after its work
+# finishes, so the parent's SIGKILL deterministically lands after the
+# first commits but before the last — the r2 flake was all 12 partitions
+# committing within one poll interval on a fast box
+run_check(
+    d,
+    cfg=CheckConfig(extra={{"test_commit_stagger_s": 0.12}}),
+    out_dir=out,
+    with_key_checks=False,
+)
 print("DONE", flush=True)
 """
 

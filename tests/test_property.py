@@ -110,13 +110,16 @@ def test_bucket_candidates_match_naive(rows):
         3: set(),  # ntok
         4: set(),  # empty
         5: set(),  # dup-ref (verification rider, not a violation)
+        6: set(),  # manifest-ref (E72 verification rider, not a violation)
     }
     for h, loc, cand in zip(
         out["h"].to_pylist(), out["loc"].to_pylist(), out["cand"].to_pylist()
     ):
-        got[cand].add((h, loc) if cand != 4 else h)
+        got[cand].add((h, loc) if cand not in (4, 6) else h)
     # every dup run must carry exactly one reference row (the kept first)
     assert {h for h, _ in got[5]} == {h for h, _ in got[1]}
+    # every run with an E72 candidate carries its manifest-reference rider
+    assert got[6] == {h for h, _ in got[3]}
     dup, orphan, ntok_bad, empty = naive_candidates(rows)
     assert got[1] == dup
     assert got[2] == orphan

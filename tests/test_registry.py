@@ -35,6 +35,46 @@ def test_generate_template(tmp_path):
     assert load_config(p) == CheckConfig()
 
 
+def test_config_roundtrip_toml(tmp_path):
+    """TOML config round-trip (--checks-toml analog,
+    custom_checks_cfg.rs:7-28): save → load == original, None fields
+    omitted by TOML load back as dataclass defaults."""
+    p = str(tmp_path / "cfg.toml")
+    cfg = CheckConfig(
+        vocab=1000,
+        enabled_codes=("E10", "E70"),
+        bos_id=1,
+        extra={"custom_checks": ["max_len"], "max_len": 64},
+    )
+    save_config(cfg, p)
+    cfg2 = load_config(p)
+    assert cfg2 == cfg
+    # unknown fields fail loudly (serde deny_unknown_fields analog);
+    # prepended so it is a top-level key, not an [extra] entry
+    with open(p) as f:
+        body = f.read()
+    with open(p, "w") as f:
+        f.write("not_a_field = 3\n" + body)
+    with pytest.raises(ValueError, match="unknown field"):
+        load_config(p)
+
+
+def test_generate_template_toml_cli_roundtrip(tmp_path, capsys):
+    """CLI: generate-config → hand-edit → check --checks-config picks the
+    edited TOML up (generate + edit + load, config.rs:383-447 analog)."""
+    from fastpasta_ray import cli
+
+    p = str(tmp_path / "template.toml")
+    assert cli.main(["generate-config", p]) == 0
+    cfg = load_config(p)
+    assert cfg == CheckConfig()
+    # hand-edit: tighten the vocab bound
+    text = open(p).read().replace("vocab = 50304", "vocab = 77")
+    with open(p, "w") as f:
+        f.write(text)
+    assert load_config(p).vocab == 77
+
+
 def test_registry_unknown_check():
     with pytest.raises(KeyError, match="unknown custom check"):
         get_check("nope")
