@@ -114,6 +114,10 @@ def load_config(path: str) -> CheckConfig:
     d["source_domain"] = tuple(d.get("source_domain") or S.SOURCES)
     if d.get("enabled_codes"):
         d["enabled_codes"] = tuple(d["enabled_codes"])
+    if d.get("allowed_segment_orders"):
+        d["allowed_segment_orders"] = tuple(
+            tuple(o) for o in d["allowed_segment_orders"]
+        )
     return CheckConfig(**d)
 
 

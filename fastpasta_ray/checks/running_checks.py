@@ -9,8 +9,24 @@ Arrow batches; the check itself is vectorized inside each batch.
 
 Check E11: the trailing 8-digit doc index of doc_id must be strictly
 increasing within a partition (analog of the pages_counter sequence check
-[E11], rdh_running.rs:83-121). Rows whose doc_id is malformed are skipped
-(they already got E12/E13).
+[E11], rdh_running.rs:83-121).
+
+Exact-stride mode (``expected_stride``) mirrors the reference's TDH
+trigger-period family with its full E44x sub-taxonomy (tdh.rs:60-206,
+cdp_running.rs:342) mapped onto the doc-index stream:
+
+  E440  stride != expected, FRESH (previous interval was clean)
+  E441  stride mismatch CONTINUATION (previous interval also mismatched)
+  E442  doc index repeated (stride 0)
+  E443  doc index went backwards (raw decrease that is not the expected
+        wrap phase)
+  E444  the doc_id's embedded partition ordinal (the 4-digit middle group)
+        changed mid-partition — the set-once orbit-vs-RDH analog; checked
+        in BOTH modes (monotonic and exact-stride)
+
+"E44" works as a family prefix with the error-code filter's prefix
+semantics (--codes E44 enables all of E440..E444). Rows whose doc_id is
+malformed are skipped (they already got E12/E13).
 """
 
 from __future__ import annotations
@@ -33,7 +49,8 @@ class RunningState:
     leaving only monotonicity — the `check sanity` vs period-configured
     `check all` distinction."""
 
-    __slots__ = ("last_idx", "expected_stride", "index_wrap")
+    __slots__ = ("last_idx", "expected_stride", "index_wrap",
+                 "last_interval_bad", "first_ordinal")
 
     INDEX_WRAP = 100_000_000  # 8-digit doc index domain
 
@@ -41,72 +58,154 @@ class RunningState:
         self.last_idx: int | None = None
         self.expected_stride = expected_stride
         self.index_wrap = index_wrap or self.INDEX_WRAP
+        # carried across batches: was the last checked interval a period
+        # mismatch (E440/E441 fresh-vs-continuation classification)?
+        self.last_interval_bad = False
+        # set-once partition ordinal (E444): first valid row's value
+        self.first_ordinal: int | None = None
 
     def check_batch(self, batch: pa.Table) -> pa.Table:
-        """Vectorized monotonicity check over one ordered batch; carries the
-        last seen doc index across batches. Returns violation rows."""
+        """Vectorized order/stride/ordinal checks over one ordered batch;
+        carries the last seen doc index, the last interval's verdict and
+        the set-once partition ordinal across batches. Returns violation
+        rows."""
         doc_id = batch["doc_id"].combine_chunks()
-        # extract trailing digits; invalid/missing → null
-        idx_str = pc.extract_regex(doc_id, r"/(?P<idx>\d{8})$")
-        idx_arr = pc.struct_field(idx_str, "idx")
-        idx = pc.cast(idx_arr, pa.int64())
+        # extract the partition ordinal + trailing index; malformed → null
+        groups = pc.extract_regex(doc_id, r"/(?P<ord>\d{4})/(?P<idx>\d{8})$")
+        idx = pc.cast(pc.struct_field(groups, "idx"), pa.int64())
         idx_np = idx.to_numpy(zero_copy_only=False)  # float with NaN where null
         valid = ~pd_isnan(idx_np)
         vrows = np.flatnonzero(valid)
         if len(vrows) == 0:
             return S.VIOLATIONS_SCHEMA.empty_table()
+        ords = pc.cast(pc.struct_field(groups, "ord"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[vrows].astype(np.int64)
         seq = idx_np[vrows].astype(np.int64)
         prev = np.empty_like(seq)
         prev[1:] = seq[:-1]
         have_prev = self.last_idx is not None
         prev[0] = self.last_idx if have_prev else np.iinfo(np.int64).min
+
+        out_pos: list[np.ndarray] = []
+        out_codes: list[list] = []
+        out_msgs: list[list] = []
+
+        # --- E444: set-once partition ordinal (orbit analog) ---------------
+        if self.first_ordinal is None:
+            self.first_ordinal = int(ords[0])
+        bad_ord = ords != self.first_ordinal
+        if bad_ord.any():
+            w = np.flatnonzero(bad_ord)
+            out_pos.append(vrows[w])
+            out_codes.append([S.E_PART_ORDINAL] * len(w))
+            out_msgs.append(
+                [
+                    S.format_message(
+                        S.E_PART_ORDINAL,
+                        f"doc_id partition ordinal {int(o)} != partition's first {self.first_ordinal}",
+                    )
+                    for o in ords[w]
+                ]
+            )
+
         if self.expected_stride is not None:
-            # exact-period mode (E44): (cur - prev) mod wrap == stride;
-            # the first valid row of the partition has no predecessor
+            # exact-period mode: (cur - prev) mod wrap == stride; the first
+            # valid row of the partition has no predecessor interval
+            stride = self.expected_stride
             delta = np.mod(seq - prev, self.index_wrap)
-            bad = delta != self.expected_stride
+            bad = delta != stride
+            no_interval = np.zeros(len(seq), dtype=bool)
             if not have_prev:
                 bad[0] = False
+                no_interval[0] = True
+            # classification lanes (priority: repeat > decrease > period)
+            rep = bad & (delta == 0)
+            dec = bad & (seq < prev) & ~rep & ~no_interval
+            prev_bad = np.empty(len(seq), dtype=bool)
+            prev_bad[1:] = bad[:-1]
+            prev_bad[0] = self.last_interval_bad if have_prev else False
+            per = bad & ~rep & ~dec
+            cont = per & prev_bad
+            fresh = per & ~prev_bad
+            self.last_interval_bad = bool(bad[-1])
+            for mask, code, fmt in (
+                (
+                    fresh,
+                    S.E_PERIOD,
+                    lambda c, p, d: f"doc index stride {d} != expected {stride} ({c} after {p})",
+                ),
+                (
+                    cont,
+                    S.E_PERIOD_CONT,
+                    lambda c, p, d: (
+                        f"doc index stride {d} != expected {stride} "
+                        f"({c} after {p}; continuation of previous mismatch)"
+                    ),
+                ),
+                (
+                    rep,
+                    S.E_INDEX_REPEAT,
+                    lambda c, p, d: f"doc index {c} repeated (stride 0, expected {stride})",
+                ),
+                (
+                    dec,
+                    S.E_INDEX_DECREASE,
+                    lambda c, p, d: f"doc index decreased: {c} after {p} (expected stride {stride})",
+                ),
+            ):
+                w = np.flatnonzero(mask)
+                if not len(w):
+                    continue
+                out_pos.append(vrows[w])
+                out_codes.append([code] * len(w))
+                out_msgs.append(
+                    [
+                        S.format_message(
+                            code, fmt(int(c), int(p), int(d))
+                        )
+                        for c, p, d in zip(seq[w], prev[w], delta[w])
+                    ]
+                )
         else:
             bad = seq <= prev
+            w = np.flatnonzero(bad)
+            if len(w):
+                out_pos.append(vrows[w])
+                out_codes.append([S.E_ORDER] * len(w))
+                out_msgs.append(
+                    [
+                        S.format_message(
+                            S.E_ORDER,
+                            f"doc index not increasing: {int(c)} after {int(p)}",
+                        )
+                        for c, p in zip(seq[w], prev[w])
+                    ]
+                )
         # carry the IMMEDIATE predecessor (last valid index), not the max:
         # the in-batch comparison is each-row-vs-previous-row, and the
         # cross-batch carry must match or results would depend on where
         # batch boundaries fall (caught by hypothesis)
         self.last_idx = int(seq[-1])
-        bad_pos = vrows[np.flatnonzero(bad)]
-        if len(bad_pos) == 0:
+        if not out_pos:
             return S.VIOLATIONS_SCHEMA.empty_table()
+        pos = np.concatenate(out_pos)
+        codes = [c for lane in out_codes for c in lane]
+        msgs = [m for lane in out_msgs for m in lane]
+        # emit in row order (stable across lane concatenation)
+        order = np.argsort(pos, kind="stable")
         part = batch["part"].combine_chunks()
         row_index = batch["row_index"].combine_chunks()
-        take = pa.array(bad_pos)
-        prev_vals = prev[np.flatnonzero(bad)]
-        cur_vals = seq[np.flatnonzero(bad)]
-        if self.expected_stride is not None:
-            code = S.E_PERIOD
-            msgs = [
-                S.format_message(
-                    code,
-                    f"doc index stride {(int(c) - int(p)) % self.index_wrap} "
-                    f"!= expected {self.expected_stride} ({int(c)} after {int(p)})",
-                )
-                for c, p in zip(cur_vals, prev_vals)
-            ]
-        else:
-            code = S.E_ORDER
-            msgs = [
-                S.format_message(
-                    code, f"doc index not increasing: {int(c)} after {int(p)}"
-                )
-                for c, p in zip(cur_vals, prev_vals)
-            ]
+        take = pa.array(pos[order])
+        codes = [codes[i] for i in order]
+        msgs = [msgs[i] for i in order]
         return pa.table(
             {
                 "part": pc.take(part, take),
                 "row_index": pc.take(row_index, take),
                 "doc_id": pc.take(doc_id, take),
-                "code": pa.array([code] * len(bad_pos), type=pa.string()),
-                "column": pa.array(["doc_id"] * len(bad_pos), type=pa.string()),
+                "code": pa.array(codes, type=pa.string()),
+                "column": pa.array(["doc_id"] * len(codes), type=pa.string()),
                 "message": pa.array(msgs, type=pa.string()),
             },
             schema=S.VIOLATIONS_SCHEMA,

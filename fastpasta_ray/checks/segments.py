@@ -15,6 +15,10 @@ lanes/chips, delimited by a configurable ``segment_delim_id`` token:
   E74  segment headers (first token of each segment) not all equal
        within a row                                        (BC equality)
   E75  empty segment (two consecutive delimiters)          (empty frame)
+  E76  segment header sequence not among the configured allowed
+       orderings — the ``chip_orders_ob`` custom-check analog
+       (custom_checks_cfg.rs:16-24, checks applied at
+       lane_alpide_frame_analyzer.rs:180-320)
 
 Fully vectorized across the batch: one flatten, one delimiter scan, one
 segment-start derivation — no per-row Python. Row-local (fits map_batches,
@@ -37,8 +41,14 @@ def run_segment_checks(
     min_segments: int | None = None,
     max_segments: int | None = None,
     check_headers: bool = True,
+    allowed_orders: tuple | None = None,
 ) -> pa.Table:
-    """Segment-structure checks over one SEQUENCES_POS batch."""
+    """Segment-structure checks over one SEQUENCES_POS batch.
+
+    ``allowed_orders``: tuple of allowed segment-header sequences (each a
+    tuple of token ids). When set, every row with ≥1 segment must have a
+    header sequence exactly equal to one of them (chip_orders_ob analog —
+    the reference ships [[0..6],[8..14]] as its OB defaults)."""
     tokens = batch["tokens"].combine_chunks()
     if isinstance(tokens, pa.ChunkedArray):
         tokens = tokens.combine_chunks()
@@ -141,6 +151,37 @@ def run_segment_checks(
             [
                 f"segment headers differ: min {int(hmin[r])} != max {int(hmax[r])}"
                 for r in rows74
+            ],
+        )
+
+    # E76: header sequence must be one of the allowed orderings
+    # (chip_orders_ob analog). Vectorized per allowed order: rows whose
+    # segment count matches the order's length compare their gathered
+    # header block against it in one equality; a row passes if ANY allowed
+    # order matches.
+    if allowed_orders and seg_start.any():
+        heads = vals[seg_start]
+        hoff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(seg_per_row, out=hoff[1:])
+        candidate = has_tokens & (seg_per_row > 0)
+        matched = np.zeros(n, dtype=bool)
+        for order in allowed_orders:
+            order_np = np.asarray(order, dtype=heads.dtype if len(heads) else np.int64)
+            L = len(order_np)
+            rows_l = np.flatnonzero(candidate & (seg_per_row == L))
+            if not len(rows_l):
+                continue
+            gather = (hoff[rows_l][:, None] + np.arange(L)[None, :]).reshape(-1)
+            block = heads[gather].reshape(len(rows_l), L)
+            matched[rows_l] |= (block == order_np[None, :]).all(axis=1)
+        rows76 = np.flatnonzero(candidate & ~matched)
+        emit(
+            rows76, S.E_SEG_ORDER,
+            [
+                "segment header order "
+                + str([int(h) for h in heads[hoff[r] : hoff[r + 1]]])
+                + " not in allowed orderings"
+                for r in rows76
             ],
         )
 

@@ -82,7 +82,14 @@ E_GRAMMAR_EOS = "E50"        # last token != EOS            ~ TDT sanity [E50]
 E_GRAMMAR_PAD = "E60"        # pad token before sequence end ~ DDW0 sanity [E60]
 # running checks (analog of RdhCruRunningChecker [E11], rdh_running.rs:38-184)
 E_ORDER = "E11"              # non-monotonic doc index within a partition
-E_PERIOD = "E44"             # doc index stride != expected   ~ TDH trigger period [E440..E445] (tdh.rs:60-206)
+# exact-stride (trigger-period analog) sub-taxonomy, mirroring the
+# reference's E44x family (tdh.rs:60-206, cdp_running.rs:342): E44 remains
+# the family PREFIX (an enabled_codes entry "E44" matches all of these)
+E_PERIOD = "E440"            # stride != expected, fresh      ~ [E440] bc not increasing
+E_PERIOD_CONT = "E441"       # stride mismatch continuation   ~ [E441] continuation bc differs
+E_INDEX_REPEAT = "E442"      # doc index repeated (stride 0)  ~ [E442] continuation orbit differs
+E_INDEX_DECREASE = "E443"    # doc index went backwards       ~ [E443] continuation type differs
+E_PART_ORDINAL = "E444"      # doc_id partition ordinal changed mid-partition ~ [E444] TDH orbit != RDH orbit
 # shuffle checks
 E_DUP_DOCID = "E80"          # duplicate doc_id            ~ orbit-must-change (rdh_running.rs:125-133)
 E_ORPHAN = "E71"             # doc_id missing from manifest ~ lane-not-active [E71] (ib.rs:14-22)
@@ -90,6 +97,7 @@ E_MANIFEST_NTOK = "E72"      # n_tok != manifest expected   ~ [E72] lane groupin
 E_SEG_COUNT = "E73"          # segment count out of band    ~ [E73] lane count (alpide_readout_frame.rs:53-129)
 E_SEG_HEADER = "E74"         # segment headers unequal      ~ [E74] cross-lane BC equality (alpide.rs:19-122)
 E_SEG_EMPTY = "E75"          # empty segment                ~ [E75] empty-lane wrapper
+E_SEG_ORDER = "E76"          # segment header order not in allowed orderings ~ chip_orders_ob (custom_checks_cfg.rs:16-24, lane_alpide_frame_analyzer.rs:180-320)
 E_EMPTY_DOC = "E701"         # manifest doc with no sequence row ~ [E701] empty readout frame
 # stats / profile comparison (analog of validate_other_stats + custom checks
 # [E9001]/[E9002], stats_validation.rs:4-38)
@@ -101,8 +109,10 @@ E_DRIFT_KS = "E9441"         # KS drift gate breached (per partition)
 ALL_CODES = (
     E_NTOK_MISMATCH, E_DOCID_FORMAT, E_DOCID_NULL, E_SCHEMA, E_SOURCE_NULL,
     E_SOURCE_DOMAIN, E_TOKEN_RANGE, E_TOKENS_NULL, E_GRAMMAR_BOS,
-    E_GRAMMAR_EOS, E_GRAMMAR_PAD, E_ORDER, E_PERIOD, E_DUP_DOCID,
+    E_GRAMMAR_EOS, E_GRAMMAR_PAD, E_ORDER, E_PERIOD, E_PERIOD_CONT,
+    E_INDEX_REPEAT, E_INDEX_DECREASE, E_PART_ORDINAL, E_DUP_DOCID,
     E_ORPHAN, E_MANIFEST_NTOK, E_SEG_COUNT, E_SEG_HEADER, E_SEG_EMPTY,
+    E_SEG_ORDER,
     E_EMPTY_DOC, E_CUSTOM_COUNT, E_PROFILE_FIELD,
     E_DRIFT_PSI, E_DRIFT_KS,
 )

@@ -69,10 +69,13 @@ class CheckConfig:
     eos_id: int | None = None
     pad_id: int | None = None
     # nested segment decode (ALPIDE deep-decode analog, checks/segments.py);
-    # None disables — E73 count band / E74 header equality / E75 empty
+    # None disables — E73 count band / E74 header equality / E75 empty /
+    # E76 allowed header orderings (chip_orders_ob analog,
+    # custom_checks_cfg.rs:16-24): tuple of allowed header sequences
     segment_delim_id: int | None = None
     min_segments: int | None = None
     max_segments: int | None = None
+    allowed_segment_orders: tuple | None = None
     extra: dict = field(default_factory=dict)
 
     @property
@@ -264,6 +267,7 @@ class ValidateFiles:
                         delim_id=cfg.segment_delim_id,
                         min_segments=cfg.min_segments,
                         max_segments=cfg.max_segments,
+                        allowed_orders=cfg.allowed_segment_orders,
                     )
                     if sv.num_rows:
                         v = pa.concat_tables([v, sv])

@@ -192,3 +192,69 @@ def test_segment_checks_via_pipeline(tmp_path):
     )
     assert res.violations.num_rows == 1
     assert res.violations["code"].to_pylist() == ["E74"]
+
+
+def test_segment_allowed_orders_e76():
+    """chip_orders_ob analog (custom_checks_cfg.rs:16-24): the header
+    sequence must be one of the allowed orderings — a swapped order is
+    caught with an exact violation row; both allowed orders pass."""
+    from fastpasta_ray.checks.segments import run_segment_checks
+
+    DELIM = 99
+    rows = [
+        [5, 1, 99, 6, 2, 99, 7, 3],   # headers (5,6,7) → allowed
+        [8, 1, 99, 9, 2],             # headers (8,9)   → allowed (2nd order)
+        [5, 1, 99, 7, 2, 99, 6, 3],   # headers (5,7,6) → WRONG order → E76
+        [5, 1, 99, 6, 2],             # headers (5,6)   → length matches no order → E76
+    ]
+    v = run_segment_checks(
+        _seg_batch(rows),
+        delim_id=DELIM,
+        check_headers=False,          # isolate E76 (headers differ → E74 noise)
+        allowed_orders=((5, 6, 7), (8, 9)),
+    )
+    got = sorted(zip(v["row_index"].to_pylist(), v["code"].to_pylist()))
+    assert got == [(2, "E76"), (3, "E76")]
+    msgs = dict(zip(v["row_index"].to_pylist(), v["message"].to_pylist()))
+    assert msgs[2] == "[E76] segment header order [5, 7, 6] not in allowed orderings"
+
+
+def test_segment_allowed_orders_via_config(tmp_path):
+    """allowed_segment_orders flows through CheckConfig (and survives the
+    TOML config round-trip as tuples)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastpasta_ray.checks.registry import load_config, save_config
+    from fastpasta_ray.pipelines.check import run_check
+    from fastpasta_ray.stages.validate import CheckConfig
+
+    cfg = CheckConfig(
+        segment_delim_id=99,
+        allowed_segment_orders=((5, 6), (8, 9)),
+        enabled_codes=("E76",),
+    )
+    p = str(tmp_path / "cfg.toml")
+    save_config(cfg, p)
+    assert load_config(p) == cfg
+
+    d = str(tmp_path / "segfix2")
+    os.makedirs(d)
+    from fastpasta_ray.schema import SEQUENCES_SCHEMA
+    toks = [[5, 1, 99, 6, 2], [6, 1, 99, 5, 2]]
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"web/0000/{i:08d}" for i in range(2)]),
+            "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(x) for x in toks], type=pa.int32()),
+            "source": pa.array(["web", "web"]),
+        },
+        schema=SEQUENCES_SCHEMA,
+    )
+    pq.write_table(t, os.path.join(d, "part-0000.parquet"))
+    res = run_check(d, cfg=load_config(p), with_key_checks=False)
+    assert res.violations.num_rows == 1
+    assert res.violations["code"].to_pylist() == ["E76"]
+    assert res.violations["row_index"].to_pylist() == [1]

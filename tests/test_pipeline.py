@@ -357,9 +357,13 @@ def test_expected_index_stride_period_check(fixtures_dir):
     bad = run_check(
         d, cfg=CheckConfig(expected_index_stride=2), with_key_checks=False
     )
-    # every consecutive pair has stride 1 != 2: all rows but the first per part
+    # every consecutive pair has stride 1 != 2: all rows but the first per
+    # part. First mismatch per part = E440 (fresh), the rest = E441
+    # (continuation) — the reference's first-vs-continuation split
     assert bad.violations.num_rows == 1200 - 3
-    assert set(bad.violations["code"].to_pylist()) == {"E44"}
+    codes = bad.violations["code"].to_pylist()
+    assert codes.count("E440") == 3
+    assert codes.count("E441") == 1200 - 6
     d2 = os.path.join(fixtures_dir, "bad_order_period")
     if not os.path.isdir(d2):
         write_fixture(d2, SynthSpec(n_rows=400, n_parts=3, mean_n_tok=32),
@@ -368,7 +372,8 @@ def test_expected_index_stride_period_check(fixtures_dir):
         d2, cfg=CheckConfig(expected_index_stride=1), with_key_checks=False
     )
     assert res.violations.num_rows > 0
-    assert set(res.violations["code"].to_pylist()) == {"E44"}
+    # every emitted code is in the E44x family (prefix semantics)
+    assert all(c.startswith("E44") for c in res.violations["code"].to_pylist())
 
 
 def test_composite_defect_taxonomy(tmp_path):

@@ -159,3 +159,70 @@ def test_mixed_null_and_out_of_range_rows():
         "[E70] token id 99999 out of range [0, 50304) at index 1",
         "[E70] token id 70000 out of range [0, 50304) at index 0",
     ]
+
+
+# ---------------------------------------------------------------------------
+# E44x exact-stride sub-taxonomy (tdh.rs:60-206 / cdp_running.rs:342 analog)
+# ---------------------------------------------------------------------------
+
+def _ids(*idxs, ordinal="0000"):
+    return [(f"web/{ordinal}/{i:08d}", [1], 1, "web") for i in idxs]
+
+
+def test_stride_fresh_vs_continuation_exact_strings():
+    """First mismatch → E440; immediately following mismatch → E441, each
+    with byte-exact messages (first-vs-continuation split, tdh.rs:60-206)."""
+    st = RunningState(expected_stride=2)
+    v = st.check_batch(mk_batch(_ids(0, 2, 5, 8, 10)))
+    assert [(r, c) for r, c in zip(v["row_index"].to_pylist(), v["code"].to_pylist())] == [
+        (2, "E440"), (3, "E441"),
+    ]
+    assert v["message"].to_pylist() == [
+        "[E440] doc index stride 3 != expected 2 (5 after 2)",
+        "[E441] doc index stride 3 != expected 2 (8 after 5; continuation of previous mismatch)",
+    ]
+
+
+def test_stride_continuation_carries_across_batches():
+    """The fresh/continuation verdict survives a batch boundary: a mismatch
+    at the end of batch 1 makes batch 2's first mismatch a continuation."""
+    st = RunningState(expected_stride=1)
+    v1 = st.check_batch(mk_batch(_ids(0, 5)))
+    assert v1["code"].to_pylist() == ["E440"]
+    v2 = st.check_batch(mk_batch(_ids(9)))
+    assert v2["code"].to_pylist() == ["E441"]
+    # a clean interval resets the continuation state
+    v3 = st.check_batch(mk_batch(_ids(10, 14)))
+    assert v3["code"].to_pylist() == ["E440"]
+
+
+def test_stride_repeat_and_decrease_codes():
+    st = RunningState(expected_stride=1)
+    v = st.check_batch(mk_batch(_ids(4, 4, 2)))
+    assert v["code"].to_pylist() == ["E442", "E443"]
+    assert v["message"].to_pylist() == [
+        "[E442] doc index 4 repeated (stride 0, expected 1)",
+        "[E443] doc index decreased: 2 after 4 (expected stride 1)",
+    ]
+
+
+def test_stride_wrap_is_clean():
+    """Index wrap at 10^8 with the right phase is NOT a violation (the
+    reference wraps trigger_bc at MAX_BC, tdh.rs:96-108)."""
+    st = RunningState(expected_stride=5)
+    v = st.check_batch(mk_batch(_ids(99_999_998, 3)))
+    assert v.num_rows == 0
+
+
+def test_partition_ordinal_set_once_e444():
+    """E444: the doc_id's 4-digit partition ordinal must not change
+    mid-partition (set-once orbit analog) — both modes."""
+    st = RunningState()  # monotonic mode
+    b = mk_batch(_ids(1) + _ids(2, ordinal="0007") + _ids(3))
+    v = st.check_batch(b)
+    assert [(r, c) for r, c in zip(v["row_index"].to_pylist(), v["code"].to_pylist())] == [
+        (1, "E444"),
+    ]
+    assert v["message"].to_pylist() == [
+        "[E444] doc_id partition ordinal 7 != partition's first 0"
+    ]
