@@ -31,13 +31,16 @@ def sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def bench_fixture_dir(sf: float) -> str:
+def bench_fixture_dir(sf: float, mult: int = 1) -> str:
     """Deterministic sequences fixture scaled to sf; cached under /tmp.
 
     64 partition files so parallelism isn't capped below the CPU count
-    (pass-1 parallelism = number of files — the per-link ordering contract)."""
+    (pass-1 parallelism = number of files — the per-link ordering contract).
+    ``mult`` scales rows-per-part (GRAFT_FIXTURE_MULT): the scaling
+    protocol runs at 4x so Ray's ~0.7 s fixed cost is <5% of the 1-CPU
+    wall (VERDICT r2 #4)."""
     n_parts = 64
-    rows_per_part = max(200, int(20000 * (sf / 0.1)))
+    rows_per_part = max(200, int(20000 * (sf / 0.1)) * mult)
     d = f"/tmp/fp_bench_seq_sf{sf}_{n_parts}x{rows_per_part}"
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
@@ -75,7 +78,7 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
     timings: dict[str, float] = {}
 
     # ---- headline: flagship check-all over the sequences fixture ---------
-    fixture = bench_fixture_dir(sf)
+    fixture = bench_fixture_dir(sf, int(os.environ.get("GRAFT_FIXTURE_MULT", "1")))
     from fastpasta_ray.pipelines.check import run_check
     from fastpasta_ray.stages.validate import CheckConfig
 
@@ -185,22 +188,24 @@ def run_scaling(sf_dir: str) -> dict:
     the machine's memory bus, not the engine's scalability (on a real
     multi-node cluster each node brings its own memory bus)."""
     out = {}
-    for cpus in (1, 2, 4, 8, 32):
-        best = None
-        for _ in range(2):  # best-of-2 fresh processes per level: damps
+    levels = (1, 2, 4, 8, 32)
+    # INTERLEAVED reps (1,2,4,8,32, 1,2,4,8,32): a slow box window then
+    # hits every level equally instead of poisoning one level's both runs
+    for rep in range(2):
+        for cpus in levels:
             env = dict(os.environ)  # transient external load on the box
             env["RAY_GRAFT_CPUS"] = str(cpus)
             env["GRAFT_SF_DIR"] = sf_dir
             env["FP_BENCH_NO_QUERIES"] = "1"
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                capture_output=True, text=True, env=env, timeout=1800,
+                capture_output=True, text=True, env=env, timeout=3600,
             )
             line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
+            best = out.get(cpus)
             if best is None or r["sequences_per_sec"] > best["sequences_per_sec"]:
-                best = r
-        out[cpus] = best
+                out[cpus] = r
 
     def eff(lo, hi):
         return round(
@@ -212,6 +217,8 @@ def run_scaling(sf_dir: str) -> dict:
         "value": eff(1, 4),
         "unit": "efficiency",
         "sf": out[1]["sf"],
+        "fixture_mult": int(os.environ.get("GRAFT_FIXTURE_MULT", "1")),
+        "rows": out[1].get("rows"),
         "throughputs": {
             str(c): {
                 "num_cpus": c,

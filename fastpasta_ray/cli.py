@@ -125,13 +125,25 @@ def cmd_generate_config(args) -> int:
 
 def cmd_view(args) -> int:
     _ray_session()
-    from fastpasta_ray.pipelines.view import view_doc_frames, view_sequences
-
-    lines = (
-        view_doc_frames(args.input_dir, args.limit)
-        if args.frames
-        else view_sequences(args.input_dir, args.limit)
+    from fastpasta_ray.pipelines.view import (
+        view_doc_data,
+        view_doc_frames,
+        view_sequences,
     )
+
+    if args.data:
+        lines = view_doc_data(
+            args.input_dir,
+            args.limit,
+            bos_id=args.bos_id,
+            eos_id=args.eos_id,
+            pad_id=args.pad_id,
+            delim_id=args.segment_delim,
+        )
+    elif args.frames:
+        lines = view_doc_frames(args.input_dir, args.limit)
+    else:
+        lines = view_sequences(args.input_dir, args.limit)
     print("\n".join(lines))
     return 0
 
@@ -286,6 +298,13 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("input_dir")
     v.add_argument("--limit", type=int, default=20)
     v.add_argument("--frames", action="store_true", help="doc-frame view")
+    v.add_argument("--data", action="store_true",
+                   help="per-token data view with classification lanes "
+                        "(its-readout-frames-data analog)")
+    v.add_argument("--bos-id", type=int, default=None)
+    v.add_argument("--eos-id", type=int, default=None)
+    v.add_argument("--pad-id", type=int, default=None)
+    v.add_argument("--segment-delim", type=int, default=None)
     v.set_defaults(fn=cmd_view)
 
     f = sub.add_parser("filter", help="filter + rewrite partitions")

@@ -14,7 +14,6 @@ per-session Python loop. One shuffle; skew-immune (hash bucketing).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -53,9 +52,17 @@ def rolling_count(
     win_us = np.int64(round(window_seconds * 1_000_000))
 
     def scan(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().sort_values([key_col, ts_col], kind="mergesort")
-        ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
-        keys = df[key_col].to_numpy()
+        # Arrow C-kernel sort + numpy — no pandas conversion (VERDICT r2
+        # #6 family); the remaining per-KEY loop runs two searchsorteds
+        # per segment, bounded by distinct keys per bucket
+        gs = g.sort_by([(key_col, "ascending"), (ts_col, "ascending")])
+        ts = (
+            gs[ts_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        keys = gs[key_col].to_numpy(zero_copy_only=False)
         # per-key segments within the sorted bucket
         new_key = np.r_[True, keys[1:] != keys[:-1]]
         seg_start = np.flatnonzero(new_key)
@@ -66,10 +73,9 @@ def rolling_count(
         for s, e in zip(seg_start, np.r_[seg_start[1:], len(ts)]):
             lo[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] - win_us, side="left")
             hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e], side="right")
-        cnt = hi - lo
-        out = df.drop(columns=["bucket"]).copy()
-        out["n_in_window"] = cnt
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        return gs.drop_columns(["bucket"]).append_column(
+            "n_in_window", pa.array(hi - lo)
+        )
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
@@ -101,35 +107,45 @@ def sessionize(
             "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
         )
 
+    gap_us = np.int64(round(gap_seconds * 1_000_000))
+
     def sessions(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().sort_values([key_col, ts_col], kind="mergesort")
-        ts = df[ts_col]
-        new_key = df[key_col].ne(df[key_col].shift(1))
-        gap = (ts - ts.shift(1)).dt.total_seconds() > gap_seconds
-        new_session = (new_key | gap).to_numpy()
-        sid = np.cumsum(new_session) - 1
-        out = (
-            pd.DataFrame(
+        # Arrow C-kernel sort + pure-numpy gaps-and-islands (no pandas —
+        # VERDICT r2 #6 family): session bounds are run-length slices of
+        # the new-session mask
+        gs = g.sort_by([(key_col, "ascending"), (ts_col, "ascending")])
+        keys = gs[key_col].to_numpy(zero_copy_only=False)
+        ts64 = gs[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ts = ts64.astype(np.int64)
+        if not len(ts):
+            return pa.table(
                 {
-                    key_col: df[key_col].to_numpy(),
-                    "_sid": sid,
-                    ts_col: ts.to_numpy(),
+                    key_col: pa.array([], type=g[key_col].type),
+                    "session_start": pa.array([], type=pa.timestamp("us")),
+                    "session_end": pa.array([], type=pa.timestamp("us")),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "session_id": pa.array([], type=pa.int64()),
                 }
             )
-            .groupby("_sid", sort=True)
-            .agg(
-                **{
-                    key_col: (key_col, "first"),
-                    "session_start": (ts_col, "min"),
-                    "session_end": (ts_col, "max"),
-                    "n_events": (ts_col, "size"),
-                }
-            )
-            .reset_index(drop=True)
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        gap = np.r_[False, (ts[1:] - ts[:-1]) > gap_us]
+        new_session = new_key | gap
+        starts = np.flatnonzero(new_session)
+        ends = np.r_[starts[1:], len(ts)]
+        n_events = ends - starts
+        # per-key session ordinal: arange reset at each key's first session
+        key_first = np.flatnonzero(new_key[starts])
+        per_key_n = np.diff(np.r_[key_first, len(starts)])
+        session_id = np.arange(len(starts)) - np.repeat(key_first, per_key_n)
+        return pa.table(
+            {
+                key_col: pa.array(keys[starts]),
+                "session_start": pa.array(ts64[starts]).cast(pa.timestamp("us")),
+                "session_end": pa.array(ts64[ends - 1]).cast(pa.timestamp("us")),
+                "n_events": pa.array(n_events.astype(np.int64)),
+                "session_id": pa.array(session_id.astype(np.int64)),
+            }
         )
-        # session_id unique within key: rank of session per key
-        out["session_id"] = out.groupby(key_col).cumcount()
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")

@@ -344,12 +344,14 @@ def q_nonmonotonic_events(sf_dir: str):
         )
 
     def scan(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().sort_values(["user_id", "event_id"], kind="mergesort")
-        prev_ts = df["ts"].shift(1)
-        same_user = df["user_id"].eq(df["user_id"].shift(1))
-        bad = same_user & (df["ts"] < prev_ts)
-        n = int(bad.sum())
-        return pa.table({"n_violations_part": pa.array([n], type=pa.int64())})
+        # lexsort + shifted compare, no pandas conversion (VERDICT r2 #6)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((eid, uid))
+        u, t = uid[order], ts[order]
+        bad = (u[1:] == u[:-1]) & (t[1:] < t[:-1])
+        return pa.table({"n_violations_part": pa.array([int(bad.sum())], type=pa.int64())})
 
     parts = _to_table(
         ds.map_batches(bucketize, batch_format="pyarrow")
@@ -1366,6 +1368,52 @@ _JACCARD_ORACLE = """
 
 ORACLES["minhash_pairs"] = _JACCARD_ORACLE.format(thr=0.5)
 ORACLES["simhash_pairs"] = _JACCARD_ORACLE.format(thr=0.8)
+
+
+def q_neardup_clusters(sf_dir: str):
+    """Fuzzy-dedup clustering: connected components over the VERIFIED
+    minhash near-dup pairs (cluster_id = min doc id in the component) —
+    the standard keep-one-per-cluster final step. Pairs are bounded
+    (capped + logged) so the union-find is driver-side by design; the
+    oracle recomputes the same components with a recursive CTE."""
+    from fastpasta_ray.functions.dedup import minhash_lsh_pairs, near_dup_clusters
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    return near_dup_clusters(pairs).sort_by([("doc_id", "ascending")])
+
+
+# connected components via fixpoint label propagation: reach(id, root)
+# holds every (node, node-that-reaches-it); MIN(root) per node = the
+# component's minimum id (UNION — not UNION ALL — dedups, so the
+# recursion terminates at the fixpoint). The pairs CTE is the
+# _JACCARD_ORACLE at threshold 0.5 verbatim.
+ORACLES["neardup_clusters"] = """
+    WITH RECURSIVE
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+          FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+    gu AS (SELECT DISTINCT doc_id, sh FROM g),
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM gu GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM gu a JOIN gu b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT da AS doc_a, db AS doc_b
+              FROM inter
+              JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+              WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.5),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, root) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.id
+    )
+    SELECT id AS doc_id, CAST(MIN(root) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id ORDER BY doc_id
+"""
+QUERIES["neardup_clusters"] = q_neardup_clusters
 
 ORACLES["lang_id"] = """
     WITH c AS (

@@ -42,3 +42,38 @@ def view_doc_frames(input_dir: str, limit: int = 10) -> list[str]:
             f"{min(toks) if toks else '-':>8} {max(toks) if toks else '-':>8}"
         )
     return lines
+
+TOKEN_CLASS_LEGEND = "classes: B=BOS E=EOS P=PAD D=delim .=data"
+
+
+def view_doc_data(
+    input_dir: str,
+    limit: int = 5,
+    *,
+    bos_id: int | None = None,
+    eos_id: int | None = None,
+    pad_id: int | None = None,
+    delim_id: int | None = None,
+    words_per_line: int = 8,
+) -> list[str]:
+    """Per-token data view (its_readout_frame_data_view.rs:3-35 analog):
+    one frame-header line per document, then one line per group of
+    ``words_per_line`` tokens with its token offset and a per-token
+    classification lane — the analog of the reference's per-GBT-word
+    formatted view with memory positions."""
+    ds = read_sequences(input_dir).limit(limit)
+    classes = {bos_id: "B", eos_id: "E", pad_id: "P", delim_id: "D"}
+    classes.pop(None, None)
+    lines = [TOKEN_CLASS_LEGEND]
+    for row in ds.take(limit):
+        toks = row["tokens"] if row["tokens"] is not None else []
+        lines.append(
+            f"=== {row['part']}:{row['row_index']} {row['doc_id'] or '∅'} "
+            f"source={row['source'] or '∅'} n_tok={row['n_tok']}"
+        )
+        for off in range(0, len(toks), words_per_line):
+            chunk = toks[off : off + words_per_line]
+            vals = " ".join(f"{t:>6}" for t in chunk)
+            lane = "".join(classes.get(t, ".") for t in chunk)
+            lines.append(f"{off:>8}  {vals:<{7 * words_per_line}}  {lane}")
+    return lines

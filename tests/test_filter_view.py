@@ -59,6 +59,22 @@ def test_view_formats(tmp_path):
     assert "DOC_ID" in lines[0]
     frames = view_doc_frames(d, limit=3)
     assert len(frames) == 4
+    # per-token data view (its-readout-frames-data analog): legend + one
+    # header per doc + one line per 8-token group with a class lane
+    from fastpasta_ray.pipelines.view import view_doc_data
+    from fastpasta_ray.synth import BOS_ID, EOS_ID
+
+    dg = str(tmp_path / "fix_grammar")
+    write_fixture(dg, SynthSpec(n_rows=20, n_parts=1, grammar=True), manifest=False)
+    data = view_doc_data(dg, limit=2, bos_id=BOS_ID, eos_id=EOS_ID)
+    assert data[0].startswith("classes:")
+    headers = [ln for ln in data if ln.startswith("===")]
+    assert len(headers) == 2
+    body = [ln for ln in data if not ln.startswith(("classes:", "==="))]
+    assert body, "expected at least one token line"
+    # the grammar fixture starts every doc with BOS → first lane char is B
+    first_lane = body[0].rsplit(" ", 1)[-1]
+    assert first_lane[0] == "B"
 
 
 def test_schema_mismatch_e14(tmp_path):

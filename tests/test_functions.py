@@ -538,3 +538,24 @@ def test_pack_sequences_over_fixture(tmp_path):
         bins[pdcols].sort_values(["part", "bin"]).reset_index(drop=True),
         bins2[pdcols].sort_values(["part", "bin"]).reset_index(drop=True),
     )
+
+
+def test_near_dup_clusters_union_find():
+    """Connected components over a pair table: chains merge transitively,
+    cluster_id = min doc id per component, singletons absent."""
+    import pyarrow as pa
+
+    from fastpasta_ray.functions.dedup import near_dup_clusters
+
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([10, 20, 30, 50], type=pa.int64()),
+            "doc_b": pa.array([20, 30, 40, 60], type=pa.int64()),
+        }
+    )
+    t = near_dup_clusters(pairs)
+    got = dict(zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist()))
+    assert got == {10: 10, 20: 10, 30: 10, 40: 10, 50: 50, 60: 50}
+    # empty input → empty int64 table
+    e = near_dup_clusters(pairs.slice(0, 0))
+    assert e.num_rows == 0 and e["doc_id"].type == pa.int64()
