@@ -403,11 +403,7 @@ def _recover_violations(
 
 
 def _split_by_bucket(t: pa.Table, num_buckets: int) -> list[pa.Table]:
-    b = t["bucket"].to_numpy(zero_copy_only=False)
-    order = np.argsort(b, kind="stable")
-    bs = b[order]
-    bounds = np.searchsorted(bs, np.arange(num_buckets + 1))
-    sorted_t = t.take(pa.array(order)).drop_columns(["bucket"])
+    bounds, sorted_t = _pack_by_bucket(t, num_buckets)
     return [sorted_t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(num_buckets)]
 
 
@@ -514,6 +510,11 @@ def _map_manifest_shard(
     tag = _tag_manifest_factory(num_buckets)
     pf = pq.ParquetFile(path)
     md = pf.metadata
+    # the global-row-base arithmetic below assumes a CONTIGUOUS row-group
+    # range; a gapped list would silently misname every row after the gap
+    # (recovery would then re-read the wrong manifest rows) — fail loudly
+    if sorted(row_groups) != list(range(min(row_groups), max(row_groups) + 1)):
+        raise ValueError(f"row_groups must be contiguous, got {row_groups}")
     base = sum(md.row_group(i).num_rows for i in range(min(row_groups)))
     t = pf.read_row_groups(row_groups, columns=["doc_id", "expected_n_tok"], use_threads=False)
     lo, hi = 0, t.num_rows

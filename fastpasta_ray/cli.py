@@ -174,14 +174,29 @@ def cmd_dedup(args) -> int:
     if args.method in ("minhash", "simhash"):
         # the pair exchanges ship slim int64 ids; string-id corpora get an
         # auto surrogate (ADVICE r2 — was a hard crash deep in the exchange)
+        import glob as _glob
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        schema = pq.read_schema(
-            args.input
-            if args.input.endswith(".parquet")
-            else __import__("glob").glob(args.input.rstrip("/") + "/*.parquet")[0]
-        )
+        if args.input.endswith(".parquet"):
+            sniff = args.input
+        else:
+            # recursive: ray.data.read_parquet reads nested layouts too
+            cands = sorted(
+                _glob.glob(os.path.join(args.input, "**", "*.parquet"), recursive=True)
+            )
+            if not cands:
+                print(f"error: no parquet files found under {args.input!r}", file=sys.stderr)
+                return 2
+            sniff = cands[0]
+        schema = pq.read_schema(sniff)
+        if args.id_col not in schema.names:
+            print(
+                f"error: id column {args.id_col!r} not in input schema "
+                f"{schema.names}", file=sys.stderr,
+            )
+            return 2
         if not pa.types.is_integer(schema.field(args.id_col).type):
             from fastpasta_ray.functions.dedup import with_hashed_ids
 

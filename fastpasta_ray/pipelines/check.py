@@ -145,17 +145,28 @@ def run_check(
             {},
             {},
         )
+    # stopped_early reflects whether PASS 1 actually stopped validating
+    # partitions — captured before key-check counts are added (a clean
+    # pass 1 followed by many key-check violations must not claim the run
+    # stopped; review r3)
+    stopped_early = (
+        bool(ray.get(budget.exceeded.remote())) if budget is not None else False
+    )
     if with_key_checks and files:
-        kv_t = key_checks(
-            files, manifest_path, num_buckets=num_buckets, batch_rows=cfg.batch_rows
+        from fastpasta_ray.stages.validate import _filter_codes
+
+        kv_t = _filter_codes(
+            key_checks(
+                files, manifest_path, num_buckets=num_buckets, batch_rows=cfg.batch_rows
+            ),
+            cfg.enabled_codes,
         )
         if kv_t.num_rows:
             violations = pa.concat_tables([violations, kv_t])
             if budget is not None:
-                # key-check violations count against the global budget too
-                # (ADVICE r2) — they arrive after pass 1 so they can't stop
-                # it, but global_error_count / stopped_early must include
-                # them to match the reference's max_tolerate_errors scope
+                # key-check violations count toward global_error_count too
+                # (ADVICE r2) — they arrive after pass 1 so they can never
+                # stop it and never flip stopped_early
                 ray.get(budget.add.remote(kv_t.num_rows))
 
     # ---- restore committed partitions from the checkpoint store ----------
@@ -177,7 +188,7 @@ def run_check(
     # ---- report (stats_report.rs analog) ---------------------------------
     report, profile = make_report(violations, stats_by_part, cfg, reference_profile)
     if budget is not None:
-        report["stopped_early"] = bool(ray.get(budget.exceeded.remote()))
+        report["stopped_early"] = stopped_early
         report["global_error_count"] = int(ray.get(budget.total.remote()))
         ray.kill(budget)
 

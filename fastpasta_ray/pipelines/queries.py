@@ -1374,7 +1374,7 @@ def q_neardup_clusters(sf_dir: str):
     """Fuzzy-dedup clustering: connected components over the VERIFIED
     minhash near-dup pairs (cluster_id = min doc id in the component) —
     the standard keep-one-per-cluster final step. Pairs are bounded
-    (capped + logged) so the union-find is driver-side by design; the
+    (capped + logged) so the label propagation is driver-side by design; the
     oracle recomputes the same components with a recursive CTE."""
     from fastpasta_ray.functions.dedup import minhash_lsh_pairs, near_dup_clusters
 

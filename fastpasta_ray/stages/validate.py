@@ -331,12 +331,15 @@ class ValidateFiles:
         if self.checkpoint_dir is not None:
             from fastpasta_ray.state.checkpoint import CheckpointStore
 
-            # test hook: stagger commits by the part ordinal so a
+            # test hook (dunder-prefixed: NOT part of the public extra
+            # surface): stagger commits by the part ordinal so a
             # kill-and-resume test has a DETERMINISTIC mid-run window
             # (concurrent partitions otherwise commit within milliseconds
             # of each other and a SIGKILL can land after all of them —
-            # the r2 flake). No-op unless explicitly configured.
-            stagger = self.cfg.extra.get("test_commit_stagger_s")
+            # the r2 flake). No-op unless explicitly configured; lives
+            # here because the config is the only channel that reaches
+            # the worker-side task (driver monkeypatches don't).
+            stagger = self.cfg.extra.get("__test_commit_stagger_s")
             if stagger:
                 import re as _re
                 import time as _time

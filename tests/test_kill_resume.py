@@ -34,7 +34,7 @@ print("STARTED", flush=True)
 # committing within one poll interval on a fast box
 run_check(
     d,
-    cfg=CheckConfig(extra={{"test_commit_stagger_s": 0.12}}),
+    cfg=CheckConfig(extra={{"__test_commit_stagger_s": 0.12}}),
     out_dir=out,
     with_key_checks=False,
 )

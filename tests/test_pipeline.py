@@ -414,3 +414,23 @@ def test_composite_defect_taxonomy(tmp_path):
     assert set(v[v.part == "part-0001"].code) <= {"E70"}
     assert set(v[v.part == "part-0000"].code) <= {"E10"}
     assert res.report["stopped_early"] is not True if "stopped_early" in res.report else True
+
+
+def test_key_check_violations_do_not_flip_stopped_early(tmp_path):
+    """Review r3: a clean pass 1 followed by key-check violations counts
+    them in global_error_count but must NOT claim stopped_early (no
+    partition was skipped)."""
+    d = str(tmp_path / "dupfix")
+    write_fixture(d, SynthSpec(n_rows=300, n_parts=2), defect="bad_dup_doc_id", defect_k=8)
+    res = run_check(
+        d, cfg=CheckConfig(max_errors_global=3, running_checks=False)
+    )
+    assert res.violations.num_rows > 3          # dups found by the exchange
+    assert set(res.violations["code"].to_pylist()) == {"E80"}
+    assert res.report["stopped_early"] is False  # pass 1 never stopped
+    assert res.report["global_error_count"] == res.violations.num_rows
+    # and enabled_codes filters key-check codes too (review r3)
+    res2 = run_check(
+        d, cfg=CheckConfig(enabled_codes=("E7",), running_checks=False)
+    )
+    assert res2.violations.num_rows == 0
