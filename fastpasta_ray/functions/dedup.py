@@ -747,29 +747,30 @@ def minhash_lsh_pairs(
     # its input, which re-executes a lazy upstream — running the signature
     # pass (the expensive stage) twice; the materialized band keys are
     # 24 B/row × bands, tiny
-    cand = (
+    def audit_and_filter(b: pa.Table) -> pa.Table:
+        # oversized-bucket drops are LOGGED here, worker-side, as the pairs
+        # stream past (one log line per affected batch) — folding the audit
+        # into the single pair consumer saves two whole dataset executions
+        # (a separate .sum() pass plus the materialize it required)
+        dropped = b.filter(pc.greater(b["dropped"], 0))
+        if dropped.num_rows:
+            logger.warning(
+                "minhash_lsh_pairs: skipped oversized LSH buckets covering %d "
+                "doc slots (>100-doc cap); near-dups inside them are not reported",
+                int(pc.sum(dropped["dropped"]).as_py()),
+            )
+        return b.filter(pc.equal(b["dropped"], 0)).select(["doc_a", "doc_b", "copies"])
+
+    # band keys are materialized before the groupby (the sort samples its
+    # input and would re-run the signature stage); the groupby output flows
+    # LAZILY into the verify, whose pairs.materialize() is its only
+    # execution — 4 dataset executions total for the whole pipeline
+    pairs = (
         ds.map_batches(band_keys, batch_format="pyarrow", batch_size=2048)
         .materialize()
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .materialize()
-    )
-    n_dropped_docs = (
-        cand.map_batches(
-            lambda b: b.filter(pc.greater(b["dropped"], 0)).select(["dropped"]),
-            batch_format="pyarrow",
-        ).sum("dropped")
-        or 0
-    )
-    if n_dropped_docs:
-        logger.warning(
-            "minhash_lsh_pairs: skipped oversized LSH buckets covering %d "
-            "doc slots (>100-doc cap); near-dups inside them are not reported",
-            n_dropped_docs,
-        )
-    pairs = cand.map_batches(
-        lambda b: b.filter(pc.equal(b["dropped"], 0)).select(["doc_a", "doc_b", "copies"]),
-        batch_format="pyarrow",
+        .map_batches(audit_and_filter, batch_format="pyarrow")
     )
     return exact_jaccard_verify(
         pairs, ds, threshold=threshold, id_col=id_col, text_col=text_col,
