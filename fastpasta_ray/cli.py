@@ -92,8 +92,9 @@ def cmd_check(args) -> int:
         out_dir=args.checkpoint_dir,
         resume=args.resume,
     )
-    for line in error_display_lines(res.violations, limit=args.print_errors):
-        print(line)
+    if not args.mute_errors:
+        for line in error_display_lines(res.violations, limit=args.print_errors):
+            print(line)
     rep = res.report
     print(f"Total rows        {rep['total_rows']}")
     print(f"Total tokens      {rep['total_tokens']}")
@@ -105,14 +106,29 @@ def cmd_check(args) -> int:
     for m in rep["custom_check_messages"]:
         print(m)
     if args.output_stats:
-        write_stats(res, args.output_stats)
-        print(f"stats written to {args.output_stats}")
+        path = args.output_stats
+        if args.stats_format:
+            # explicit format overrides the extension (the reference's
+            # -D/--stats-format); write_stats dispatches on the suffix, so
+            # normalize the path to carry the requested one
+            want = "." + args.stats_format
+            if not path.endswith(want):
+                base = path
+                for ext in (".json", ".toml"):
+                    if base.endswith(ext):
+                        base = base[: -len(ext)]
+                path = base + want
+        write_stats(res, path)
+        print(f"stats written to {path}")
     if args.output_violations:
         from fastpasta_ray.pipelines.check import write_violations
 
         paths = write_violations(res.violations, args.output_violations)
         print(f"{len(paths)} violation file(s) written to {args.output_violations}")
-    return 1 if rep["any_errors"] else 0
+    # exit-code contract (init.rs:54): non-zero on any violation; the code
+    # itself is configurable but can never be 0 (config.rs:66-73)
+    code = args.any_errors_exit_code or 1
+    return code if rep["any_errors"] else 0
 
 
 def cmd_generate_config(args) -> int:
@@ -303,6 +319,15 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--checks-config", default=None,
                    help="checks config file, .toml or .json by extension "
                         "(overrides other check flags; --checks-toml analog)")
+    c.add_argument("--any-errors-exit-code", type=int, default=1,
+                   help="exit code when violations were found, cannot be 0 "
+                        "(-E/--any-errors-exit-code analog, config.rs:66-73)")
+    c.add_argument("--mute-errors", action="store_true",
+                   help="suppress per-error lines, print only the report "
+                        "(-m/--mute-errors analog, config.rs:121-123)")
+    c.add_argument("--stats-format", choices=("json", "toml"), default=None,
+                   help="force the stats snapshot format regardless of the "
+                        "--output-stats extension (-D/--stats-format analog)")
     c.set_defaults(fn=cmd_check)
 
     g = sub.add_parser("generate-config", help="write a default checks-config template")

@@ -108,3 +108,32 @@ def test_schema_wrong_type_e14(tmp_path):
     res = run_check(d, with_key_checks=False)
     assert res.violations["code"].to_pylist() == ["E14"]
     assert "wrong types" in res.violations["message"][0].as_py()
+
+
+def test_cli_exit_code_mute_and_stats_format(tmp_path, capsys):
+    """CLI parity flags: --any-errors-exit-code (config.rs:66-73),
+    --mute-errors (config.rs:121-123), --stats-format override."""
+    from fastpasta_ray import cli
+
+    d = str(tmp_path / "fix")
+    write_fixture(d, SynthSpec(n_rows=100, n_parts=1), manifest=False,
+                  defect="bad_vocab", defect_k=3)
+    stats = str(tmp_path / "s.json")
+    rc = cli.main([
+        "check", d, "--mute-errors", "--any-errors-exit-code", "42",
+        "--output-stats", stats, "--stats-format", "toml",
+    ])
+    assert rc == 42
+    outp = capsys.readouterr().out
+    assert "[E70]" not in outp          # per-error lines muted
+    assert "Violations" in outp         # report still printed
+    # --stats-format toml rewrote the extension and wrote TOML
+    import tomllib
+
+    with open(str(tmp_path / "s.toml"), "rb") as f:
+        snap = tomllib.load(f)
+    assert snap["profile"]["row_count"] == 100
+    # clean run still exits 0
+    d2 = str(tmp_path / "clean")
+    write_fixture(d2, SynthSpec(n_rows=50, n_parts=1), manifest=False)
+    assert cli.main(["check", d2, "--any-errors-exit-code", "42"]) == 0
