@@ -23,6 +23,38 @@ import sys
 import time
 
 
+def canary_sec() -> float:
+    """Single-thread numpy sort of a fixed array: a box-speed probe.
+
+    On a quiet box this reads ~0.15-0.25 s; under heavy external load it
+    has been observed at 1.9 s (BASELINE.md round-3 scaling record). Its
+    value in the output JSON lets a reader judge whether the wall-clock
+    numbers were taken in a hostile window."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 1 << 40, size=2_000_000, dtype=np.int64)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np.sort(a)
+    return time.perf_counter() - t0
+
+
+def wait_for_quiet(num_cpus: int, max_wait: float) -> float:
+    """Bounded wait for the 1-min load to drop below num_cpus/2.
+
+    This shared box's external load swings 2-8x within minutes; a bench
+    started at load 56 measures the neighbours, not the engine. We wait in
+    15 s slices up to ``max_wait`` (default 240 s, FP_BENCH_MAX_WAIT) and
+    record how long we waited — the wait is telemetry, not concealment."""
+    waited = 0.0
+    threshold = max(4.0, num_cpus / 2)
+    while waited < max_wait and os.getloadavg()[0] > threshold:
+        time.sleep(15)
+        waited += 15
+    return waited
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -88,10 +120,24 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
     run_check(
         fixture, cfg=CheckConfig(), manifest_path=os.path.join(fixture, "_manifest.parquet")
     )
+    waited = wait_for_quiet(
+        num_cpus, float(os.environ.get("FP_BENCH_MAX_WAIT", "240"))
+    )
     load_start = os.getloadavg()[0]
+    canary_start = canary_sec()
     runs = []
     for _ in range(3):  # best-of-3 steady-state runs (hyperfine-style; this
         # shared box drifts ±15%-2x with background load — see BASELINE.md)
+        t0 = time.perf_counter()
+        res = run_check(
+            fixture,
+            cfg=CheckConfig(),
+            manifest_path=os.path.join(fixture, "_manifest.parquet"),
+        )
+        runs.append(time.perf_counter() - t0)
+    while len(runs) < 5 and max(runs) > 1.5 * min(runs):
+        # wide spread = a load spike hit one of the reps; two extra reps
+        # give the best/median a chance to be taken from a clean window
         t0 = time.perf_counter()
         res = run_check(
             fixture,
@@ -141,9 +187,11 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
             "q5_local_supplier_volume",
             "word_topk",
         ):
-            best = float("inf")
-            for _ in range(2):  # best-of-2: the box's background load
-                t0 = time.perf_counter()  # drifts ±15%+ (BASELINE.md)
+            reps: list[float] = []
+            while len(reps) < 2 or (
+                len(reps) < 3 and max(reps) > 1.3 * min(reps)
+            ):  # best-of-2, +1 rep when the two disagree >30% (load spike)
+                t0 = time.perf_counter()
                 out = QUERIES[name](sf_dir)
                 # force execution for lazy Datasets
                 try:
@@ -153,8 +201,8 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
                         out = out.to_pandas()
                 except Exception:
                     pass
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+                reps.append(time.perf_counter() - t0)
+            timings[name] = round(min(reps), 3)
 
     return {
         "metric": "validated sequences/sec (full constraint + drift pass)",
@@ -175,6 +223,12 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
         "check_all_median_sec": round(t_check_median, 3),
         "check_all_runs": [round(r, 3) for r in runs],
         "load_avg_start": round(load_start, 2),
+        "load_avg_end": round(os.getloadavg()[0], 2),
+        # single-thread numpy canary (quiet box ~0.15-0.25 s; observed up
+        # to 1.9 s under external load) — box-speed evidence for this window
+        "canary_sec_start": round(canary_start, 3),
+        "canary_sec_end": round(canary_sec(), 3),
+        "quiet_wait_sec": waited,
     }
 
 
