@@ -419,18 +419,27 @@ def _pack_by_bucket(t: pa.Table, num_buckets: int) -> tuple[np.ndarray, pa.Table
     return bounds, t.take(pa.array(order)).drop_columns(["bucket"])
 
 
-def _iter_tagged_seq(path: str, part_idx: int, batch_rows):
+def _iter_tagged_seq(path: str, part_idx: int, batch_rows, filter_sources=None):
     """Scanner-based tagged read of one partition file's key columns:
     yields (h, loc, n_tok) numpy arrays per batch. Same fast decode path
-    as the payload pass (pyarrow.dataset, 2× ParquetFile)."""
+    as the payload pass (pyarrow.dataset, 2× ParquetFile).
+    ``filter_sources`` scopes the exchange to matching rows (the global
+    --filter-link analog, config.rs:75-103); filtering happens AFTER the
+    positional index is attached so `loc` keeps naming original file
+    positions (a scanner-level predicate would renumber the survivors)."""
     import pyarrow.dataset as pads
 
     from fastpasta_ray.sources.parquet import auto_batch_rows
 
     if batch_rows == "auto":
         batch_rows = auto_batch_rows(path)
+    cols = ["doc_id", "n_tok"]
+    src_set = None
+    if filter_sources is not None:
+        src_set = pa.array(list(filter_sources), type=pa.string())
+        cols.append("source")
     scanner = pads.dataset(path, format="parquet").scanner(
-        batch_size=batch_rows, columns=["doc_id", "n_tok"], use_threads=False
+        batch_size=batch_rows, columns=cols, use_threads=False
     )
     row_off = 0
     base = np.int64(part_idx) << ROW_BITS
@@ -439,9 +448,12 @@ def _iter_tagged_seq(path: str, part_idx: int, batch_rows):
         did = rb.column(0)
         idx = np.arange(row_off, row_off + n, dtype=np.int64)
         row_off += n
-        valid = pc.fill_null(
-            pc.and_(pc.is_valid(did), pc.not_equal(did, pa.scalar(""))), False
-        )
+        valid = pc.and_(pc.is_valid(did), pc.not_equal(did, pa.scalar("")))
+        if src_set is not None:
+            valid = pc.and_kleene(
+                valid, pc.is_in(rb.column(2), value_set=src_set)
+            )
+        valid = pc.fill_null(valid, False)
         vmask = valid.to_numpy(zero_copy_only=False).astype(bool)
         ntok = rb.column(1)
         if not vmask.all():
@@ -467,7 +479,7 @@ _EMPTY_SHARD = pa.table(
 @ray.remote
 def _map_seq_shard(
     paths: list[str], part_idxs: list[int], num_buckets: int, batch_rows,
-    packed: bool = False,
+    packed: bool = False, filter_sources=None,
 ):
     """Map side of the exchange: read a GROUP of partition files' scalar
     columns, hash/tag, bucket. Packed mode returns (bounds, one sorted
@@ -477,7 +489,7 @@ def _map_seq_shard(
     plasma-object cost — measured 0.7 s at 64 files × 32 returns."""
     hs, locs, ntoks = [], [], []
     for path, part_idx in zip(paths, part_idxs):
-        for h, loc, ntok in _iter_tagged_seq(path, part_idx, batch_rows):
+        for h, loc, ntok in _iter_tagged_seq(path, part_idx, batch_rows, filter_sources):
             hs.append(h); locs.append(loc); ntoks.append(ntok)
     if not hs:
         if packed:
@@ -611,6 +623,7 @@ def key_checks(
     num_buckets: int = 64,
     batch_rows: int = 8192,
     max_candidates: int = 1_000_000,
+    filter_sources: tuple | None = None,
 ) -> pa.Table:
     """All four key checks in ONE slim hash exchange + targeted recovery.
 
@@ -653,7 +666,7 @@ def key_checks(
     maps = [
         _map_seq_shard.options(num_returns=returns).remote(
             files[s : s + group], list(range(s, min(s + group, len(files)))),
-            num_buckets, batch_rows, packed,
+            num_buckets, batch_rows, packed, filter_sources,
         )
         for s in range(0, len(files), group)
     ]

@@ -82,6 +82,7 @@ def save_config(cfg: CheckConfig, path: str) -> None:
     d = asdict(cfg)
     d["source_domain"] = list(d["source_domain"])
     d["enabled_codes"] = list(d["enabled_codes"]) if d["enabled_codes"] else None
+    d["filter_sources"] = list(d["filter_sources"]) if d["filter_sources"] else None
     with open(path, "w") as f:
         if path.endswith(".toml"):
             from fastpasta_ray.pipelines.check import dump_toml
@@ -114,6 +115,8 @@ def load_config(path: str) -> CheckConfig:
     d["source_domain"] = tuple(d.get("source_domain") or S.SOURCES)
     if d.get("enabled_codes"):
         d["enabled_codes"] = tuple(d["enabled_codes"])
+    if d.get("filter_sources"):
+        d["filter_sources"] = tuple(d["filter_sources"])
     if d.get("allowed_segment_orders"):
         d["allowed_segment_orders"] = tuple(
             tuple(o) for o in d["allowed_segment_orders"]

@@ -76,6 +76,9 @@ def cmd_check(args) -> int:
         expected_row_count=args.expect_rows,
         expected_index_stride=args.expect_stride,
         read_payload=not args.no_payload,
+        filter_sources=tuple(args.filter_sources.split(","))
+        if args.filter_sources
+        else None,
         bos_id=args.bos_id,
         eos_id=args.eos_id,
         pad_id=args.pad_id,
@@ -147,6 +150,7 @@ def cmd_view(args) -> int:
         view_sequences,
     )
 
+    srcs = tuple(args.filter_sources.split(",")) if args.filter_sources else None
     if args.data:
         lines = view_doc_data(
             args.input_dir,
@@ -155,11 +159,12 @@ def cmd_view(args) -> int:
             eos_id=args.eos_id,
             pad_id=args.pad_id,
             delim_id=args.segment_delim,
+            sources=srcs,
         )
     elif args.frames:
-        lines = view_doc_frames(args.input_dir, args.limit)
+        lines = view_doc_frames(args.input_dir, args.limit, sources=srcs)
     else:
-        lines = view_sequences(args.input_dir, args.limit)
+        lines = view_sequences(args.input_dir, args.limit, sources=srcs)
     print("\n".join(lines))
     return 0
 
@@ -295,6 +300,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--manifest", default=None)
     c.add_argument("--sanity-only", action="store_true", help="stateless checks only (check sanity analog)")
     c.add_argument("--codes", default=None, help="comma-separated error-code filter")
+    c.add_argument("--filter-sources", default=None, metavar="SRC[,SRC...]",
+                   help="scope the whole analysis to these sources "
+                        "(--filter-link/--filter-fee analog: checks, stats "
+                        "and key checks all see only matching rows)")
     c.add_argument("--max-errors", type=int, default=10_000, help="per-partition violation cap")
     c.add_argument("--max-errors-global", type=int, default=None,
                    help="global error budget: stop scheduling partitions once exceeded (max_tolerate_errors analog)")
@@ -337,6 +346,8 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("view", help="formatted sample rows")
     v.add_argument("input_dir")
     v.add_argument("--limit", type=int, default=20)
+    v.add_argument("--filter-sources", default=None, metavar="SRC[,SRC...]",
+                   help="show only rows from these sources (--filter-link analog)")
     v.add_argument("--frames", action="store_true", help="doc-frame view")
     v.add_argument("--data", action="store_true",
                    help="per-token data view with classification lanes "

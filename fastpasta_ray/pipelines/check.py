@@ -157,7 +157,8 @@ def run_check(
 
         kv_t = _filter_codes(
             key_checks(
-                files, manifest_path, num_buckets=num_buckets, batch_rows=cfg.batch_rows
+                files, manifest_path, num_buckets=num_buckets,
+                batch_rows=cfg.batch_rows, filter_sources=cfg.filter_sources,
             ),
             cfg.enabled_codes,
         )

@@ -15,9 +15,32 @@ from fastpasta_ray.sources.parquet import read_sequences
 HEADER = f"{'PART':<12} {'ROW':>8} {'DOC_ID':<28} {'SOURCE':<10} {'N_TOK':>6}  TOKENS[:8]"
 
 
-def view_sequences(input_dir: str, limit: int = 20) -> list[str]:
+def _scoped(input_dir: str, limit: int, sources: tuple | None):
+    """Limit-bounded sequence read, optionally scoped to sources (the
+    global --filter-link analog, config.rs:75-103 — the reference's views
+    honour the same filter group as checks). Vectorized batch filter, then
+    ds.limit streams only the needed blocks."""
+    ds = read_sequences(input_dir)
+    if sources is not None:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        src_set = pa.array(list(sources), type=pa.string())
+
+        def keep(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pc.fill_null(pc.is_in(b["source"], value_set=src_set), False)
+            )
+
+        ds = ds.map_batches(keep, batch_format="pyarrow")
+    return ds.limit(limit)
+
+
+def view_sequences(
+    input_dir: str, limit: int = 20, *, sources: tuple | None = None
+) -> list[str]:
     """Per-record pretty rows (rdh_view.rs:4-31 analog)."""
-    ds = read_sequences(input_dir).limit(limit)
+    ds = _scoped(input_dir, limit, sources)
     lines = [HEADER]
     for row in ds.take(limit):
         toks = row["tokens"]
@@ -30,10 +53,12 @@ def view_sequences(input_dir: str, limit: int = 20) -> list[str]:
     return lines
 
 
-def view_doc_frames(input_dir: str, limit: int = 10) -> list[str]:
+def view_doc_frames(
+    input_dir: str, limit: int = 10, *, sources: tuple | None = None
+) -> list[str]:
     """Frame-level view (its_readout_frame_view.rs analog): one line per
     document with its token span summary."""
-    ds = read_sequences(input_dir).limit(limit)
+    ds = _scoped(input_dir, limit, sources)
     lines = [f"{'DOC_ID':<28} {'SOURCE':<10} {'N_TOK':>6} {'TOK_MIN':>8} {'TOK_MAX':>8}"]
     for row in ds.take(limit):
         toks = row["tokens"] or []
@@ -55,13 +80,14 @@ def view_doc_data(
     pad_id: int | None = None,
     delim_id: int | None = None,
     words_per_line: int = 8,
+    sources: tuple | None = None,
 ) -> list[str]:
     """Per-token data view (its_readout_frame_data_view.rs:3-35 analog):
     one frame-header line per document, then one line per group of
     ``words_per_line`` tokens with its token offset and a per-token
     classification lane — the analog of the reference's per-GBT-word
     formatted view with memory positions."""
-    ds = read_sequences(input_dir).limit(limit)
+    ds = _scoped(input_dir, limit, sources)
     classes = {bos_id: "B", eos_id: "E", pad_id: "P", delim_id: "D"}
     classes.pop(None, None)
     lines = [TOKEN_CLASS_LEGEND]

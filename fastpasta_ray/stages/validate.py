@@ -29,6 +29,7 @@ from collections.abc import Iterator
 from dataclasses import dataclass, field
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -56,6 +57,13 @@ class CheckConfig:
     # pruned read; token-dependent checks (E10 len, E70 range, grammar) and
     # token stats are skipped, everything else runs
     read_payload: bool = True
+    # analysis-scope filter (the reference's GLOBAL --filter-link /
+    # --filter-fee group, config.rs:75-103): when set, every pass — row
+    # checks, running checks, stats, key checks — sees only rows whose
+    # `source` is in the tuple, exactly as the reference's input scanner
+    # drops non-matching links before any validator runs. Violation
+    # row_index still names the ORIGINAL file position.
+    filter_sources: tuple | None = None
     enabled_codes: tuple | None = None   # exact codes OR prefixes ("E9" → E9xxx)
     expected_row_count: int | None = None  # custom-checks `cdps` analog (E9001)
     # exact doc-index stride per partition (R4 trigger-period analog,
@@ -91,8 +99,6 @@ def _filter_codes(v: pa.Table, enabled: tuple | None) -> pa.Table:
     an exact code is trivially its own prefix."""
     if enabled is None or v.num_rows == 0:
         return v
-    import pyarrow.compute as pc
-
     # empty-string prefixes (e.g. a trailing comma in --codes) would match
     # EVERYTHING — drop them; an empty prefix set matches nothing, like
     # the exact is_in semantics this replaced
@@ -222,8 +228,21 @@ class ValidateFiles:
             yield self._schema_violation(_part_of(path), "; ".join(detail))
             return
         columns = None if cfg.read_payload else ["doc_id", "n_tok", "source"]
+        src_set = (
+            pa.array(list(cfg.filter_sources), type=pa.string())
+            if cfg.filter_sources is not None
+            else None
+        )
         for batch in iter_file_batches(path, columns, cfg.batch_rows):
             part = batch["part"][0].as_py() if part is None else part
+            if src_set is not None:
+                # scope the whole analysis to the filtered sources; the
+                # row_index column (attached pre-filter) keeps naming the
+                # original file positions in any violation
+                keep = pc.fill_null(pc.is_in(batch["source"], value_set=src_set), False)
+                batch = batch.filter(keep)
+                if batch.num_rows == 0:
+                    continue
             # --- stats accumulation (vectorized, one pass) -----------------
             stats.row_count += batch.num_rows
             vals = None

@@ -137,3 +137,84 @@ def test_cli_exit_code_mute_and_stats_format(tmp_path, capsys):
     d2 = str(tmp_path / "clean")
     write_fixture(d2, SynthSpec(n_rows=50, n_parts=1), manifest=False)
     assert cli.main(["check", d2, "--any-errors-exit-code", "42"]) == 0
+
+
+def test_check_filter_sources_scopes_all_passes(tmp_path):
+    """--filter-sources (the reference's GLOBAL --filter-link group,
+    config.rs:75-103): row checks, stats AND the key-check exchange must
+    all see only matching rows."""
+    import pyarrow as pa
+
+    from fastpasta_ray.stages.validate import CheckConfig
+
+    d = str(tmp_path / "fix")
+    os.makedirs(d)
+    # two partitions, hand-built: source "web" carries every defect
+    # (bad vocab token + a cross-partition duplicate doc id); "books" is clean
+    def part(path, ids, toks, srcs):
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.string()),
+                "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+                "n_tok": pa.array([len(x) for x in toks], type=pa.int32()),
+                "source": pa.array(srcs, type=pa.string()),
+            }
+        )
+        pq.write_table(t, path)
+
+    from fastpasta_ray import schema as S
+
+    bad_tok = S.VOCAB_SIZE + 7  # E70 in "web"
+    part(
+        os.path.join(d, "part-0000.parquet"),
+        ["books/2024/00000001", "web/2024/00000002", "books/2024/00000003"],
+        [[1, 2], [3, bad_tok], [4]],
+        ["books", "web", "books"],
+    )
+    part(
+        os.path.join(d, "part-0001.parquet"),
+        ["books/2024/00000004", "web/2024/00000002", "books/2024/00000005"],  # web id duplicated across partitions
+        [[5], [6], [7, 8]],
+        ["books", "web", "books"],
+    )
+
+    # unfiltered: E70 (bad token) + E80 dup pair on d1
+    res = run_check(d)
+    codes = set(res.violations["code"].to_pylist())
+    assert "E70" in codes and "E80" in codes
+    assert res.report["total_rows"] == 6
+
+    # filtered to books: every web-borne defect out of scope, stats scoped
+    res_b = run_check(d, cfg=CheckConfig(filter_sources=("books",)))
+    assert res_b.violations.num_rows == 0
+    assert res_b.report["total_rows"] == 4
+    assert res_b.report["total_tokens"] == 2 + 1 + 1 + 2
+
+    # filtered to web: defects visible, row_index names ORIGINAL positions
+    res_w = run_check(d, cfg=CheckConfig(filter_sources=("web",)))
+    codes_w = set(res_w.violations["code"].to_pylist())
+    assert "E70" in codes_w and "E80" in codes_w
+    e70 = res_w.violations.filter(
+        pa.compute.equal(res_w.violations["code"], "E70")
+    )
+    assert e70["row_index"].to_pylist() == [1]
+    assert res_w.report["total_rows"] == 2
+
+
+def test_view_filter_sources(tmp_path):
+    from fastpasta_ray.pipelines.view import view_sequences
+
+    d = str(tmp_path / "fix")
+    write_fixture(d, SynthSpec(n_rows=200, n_parts=2), manifest=False)
+    lines = view_sequences(d, limit=50, sources=("web",))
+    body = lines[1:]
+    assert body and all(" web " in ln for ln in body)
+
+
+def test_filter_sources_config_roundtrip(tmp_path):
+    from fastpasta_ray.checks.registry import load_config, save_config
+    from fastpasta_ray.stages.validate import CheckConfig
+
+    p = str(tmp_path / "cfg.toml")
+    save_config(CheckConfig(filter_sources=("web", "code")), p)
+    assert load_config(p).filter_sources == ("web", "code")
