@@ -251,6 +251,15 @@ def cmd_dedup(args) -> int:
         out = exact_jaccard_verify(
             cand, ds, threshold=args.threshold, id_col=args.id_col, text_col=args.text_col
         )
+    if args.clusters and args.method in ("minhash", "simhash"):
+        # connected components over the verified pairs → (doc_id,
+        # cluster_id) assignments, the standard fuzzy-dedup final step
+        from fastpasta_ray.functions.dedup import near_dup_clusters
+
+        out = near_dup_clusters(out)
+        import ray.data as _rd
+
+        out = _rd.from_arrow(out)
     out.write_parquet(args.output)
     n = ray.data.read_parquet(args.output).count()
     print(json.dumps({"method": args.method, "rows_out": n, "output": args.output}))
@@ -373,6 +382,9 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--threshold", type=float, default=0.5, help="exact-jaccard threshold for pair output")
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
+    dd.add_argument("--clusters", action="store_true",
+                    help="minhash/simhash: write (doc_id, cluster_id) "
+                         "connected-component assignments instead of pairs")
     dd.set_defaults(fn=cmd_dedup)
 
     ts = sub.add_parser("text-stats", help="per-doc quality/lang/repetition signals")

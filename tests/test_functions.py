@@ -377,6 +377,18 @@ def test_cli_dedup_and_text_stats(tmp_path):
     assert pairs.num_rows == 1
     assert (pairs["doc_a"][0].as_py(), pairs["doc_b"][0].as_py()) == (0, 1)
 
+    out2c = str(tmp_path / "clusters")
+    assert main([
+        "dedup", src, "-o", out2c, "--method", "minhash",
+        "--threshold", "0.9", "--clusters",
+    ]) == 0
+    cl_files = [pq.read_table(f) for f in glob.glob(out2c + "/*.parquet")]
+    cl = pa.concat_tables([t for t in cl_files if t.num_rows])
+    # docs 0 and 1 form one component labeled by the min id
+    assert sorted(zip(cl["doc_id"].to_pylist(), cl["cluster_id"].to_pylist())) == [
+        (0, 0), (1, 0),
+    ]
+
     out3 = str(tmp_path / "stats")
     assert main(["text-stats", src, "-o", out3]) == 0
     st = pa.concat_tables([pq.read_table(f) for f in glob.glob(out3 + "/*.parquet")])
