@@ -48,7 +48,11 @@ def wait_for_quiet(num_cpus: int, max_wait: float) -> float:
     15 s slices up to ``max_wait`` (default 240 s, FP_BENCH_MAX_WAIT) and
     record how long we waited — the wait is telemetry, not concealment."""
     waited = 0.0
-    threshold = max(4.0, num_cpus / 2)
+    # threshold on the BOX's core count, not the run's Ray allocation: a
+    # 1-cpu scaling level on a 32-core box is not "busy" at load 5
+    # (code-review r3 — the old num_cpus/2 threshold made consecutive
+    # scaling levels wait out each other's decaying load average)
+    threshold = max(4.0, (os.cpu_count() or num_cpus) / 2)
     while waited < max_wait and os.getloadavg()[0] > threshold:
         time.sleep(15)
         waited += 15
@@ -251,6 +255,11 @@ def run_scaling(sf_dir: str) -> dict:
             env["RAY_GRAFT_CPUS"] = str(cpus)
             env["GRAFT_SF_DIR"] = sf_dir
             env["FP_BENCH_NO_QUERIES"] = "1"
+            # no quiet-wait inside scaling levels: the interleaved-reps
+            # design already samples every level across load windows, and
+            # a wait would skew matched pairs by starting levels in
+            # different windows
+            env["FP_BENCH_MAX_WAIT"] = "0"
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 capture_output=True, text=True, env=env, timeout=3600,

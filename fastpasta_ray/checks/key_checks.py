@@ -436,7 +436,7 @@ def _iter_tagged_seq(path: str, part_idx: int, batch_rows, filter_sources=None):
     cols = ["doc_id", "n_tok"]
     src_set = None
     if filter_sources is not None:
-        src_set = pa.array(list(filter_sources), type=pa.string())
+        src_set = S.source_set(filter_sources)
         cols.append("source")
     scanner = pads.dataset(path, format="parquet").scanner(
         batch_size=batch_rows, columns=cols, use_threads=False
@@ -448,11 +448,9 @@ def _iter_tagged_seq(path: str, part_idx: int, batch_rows, filter_sources=None):
         did = rb.column(0)
         idx = np.arange(row_off, row_off + n, dtype=np.int64)
         row_off += n
-        valid = pc.and_(pc.is_valid(did), pc.not_equal(did, pa.scalar("")))
+        valid = pc.and_kleene(pc.is_valid(did), pc.not_equal(did, pa.scalar("")))
         if src_set is not None:
-            valid = pc.and_kleene(
-                valid, pc.is_in(rb.column(2), value_set=src_set)
-            )
+            valid = pc.and_kleene(valid, S.source_mask(rb.column(2), src_set))
         valid = pc.fill_null(valid, False)
         vmask = valid.to_numpy(zero_copy_only=False).astype(bool)
         ntok = rb.column(1)
@@ -513,6 +511,7 @@ def _map_seq_shard(
 def _map_manifest_shard(
     path: str, row_groups: list[int], num_buckets: int,
     slice_k: int = 0, slice_n: int = 1, packed: bool = False,
+    filter_sources=None,
 ):
     """``slice_k/slice_n``: process only the k-th of n row slices of these
     row groups — parallelism beyond row-group granularity (a manifest with
@@ -528,7 +527,13 @@ def _map_manifest_shard(
     if sorted(row_groups) != list(range(min(row_groups), max(row_groups) + 1)):
         raise ValueError(f"row_groups must be contiguous, got {row_groups}")
     base = sum(md.row_group(i).num_rows for i in range(min(row_groups)))
-    t = pf.read_row_groups(row_groups, columns=["doc_id", "expected_n_tok"], use_threads=False)
+    cols = ["doc_id", "expected_n_tok"]
+    if filter_sources is not None:
+        # scope the manifest side with the SAME mask as the sequence side
+        # — an unfiltered manifest would turn every filtered-out source's
+        # manifest row into a spurious E701 "no sequence rows" violation
+        cols.append("source")
+    t = pf.read_row_groups(row_groups, columns=cols, use_threads=False)
     lo, hi = 0, t.num_rows
     if slice_n > 1:
         n = t.num_rows
@@ -538,6 +543,10 @@ def _map_manifest_shard(
     t = t.append_column(
         "row_index", pa.array(np.arange(base + lo, base + hi, dtype=np.int64))
     )
+    if filter_sources is not None:
+        # filter AFTER row_index attach: surviving rows keep their original
+        # manifest file positions for targeted recovery
+        t = t.filter(S.source_mask(t["source"], S.source_set(filter_sources)))
     tagged = tag(t)
     if packed:
         return _pack_by_bucket(tagged, num_buckets)
@@ -683,7 +692,8 @@ def key_checks(
             for k in range(slices):
                 maps.append(
                     _map_manifest_shard.options(num_returns=returns).remote(
-                        manifest_path, rgs, num_buckets, k, slices, packed
+                        manifest_path, rgs, num_buckets, k, slices, packed,
+                        filter_sources,
                     )
                 )
     if packed:

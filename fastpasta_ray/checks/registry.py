@@ -81,8 +81,15 @@ def save_config(cfg: CheckConfig, path: str) -> None:
     round trip is lossless)."""
     d = asdict(cfg)
     d["source_domain"] = list(d["source_domain"])
-    d["enabled_codes"] = list(d["enabled_codes"]) if d["enabled_codes"] else None
-    d["filter_sources"] = list(d["filter_sources"]) if d["filter_sources"] else None
+    # preserve the ()-vs-None distinction: () means "match nothing" /
+    # "no codes enabled" at run time, None disables the feature — a save/
+    # load cycle must not silently widen () into an unfiltered run
+    d["enabled_codes"] = (
+        list(d["enabled_codes"]) if d["enabled_codes"] is not None else None
+    )
+    d["filter_sources"] = (
+        list(d["filter_sources"]) if d["filter_sources"] is not None else None
+    )
     with open(path, "w") as f:
         if path.endswith(".toml"):
             from fastpasta_ray.pipelines.check import dump_toml
@@ -113,9 +120,9 @@ def load_config(path: str) -> CheckConfig:
             f"known fields: {sorted(known)}"
         )
     d["source_domain"] = tuple(d.get("source_domain") or S.SOURCES)
-    if d.get("enabled_codes"):
+    if d.get("enabled_codes") is not None:
         d["enabled_codes"] = tuple(d["enabled_codes"])
-    if d.get("filter_sources"):
+    if d.get("filter_sources") is not None:
         d["filter_sources"] = tuple(d["filter_sources"])
     if d.get("allowed_segment_orders"):
         d["allowed_segment_orders"] = tuple(

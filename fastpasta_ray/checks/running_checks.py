@@ -50,14 +50,27 @@ class RunningState:
     `check all` distinction."""
 
     __slots__ = ("last_idx", "expected_stride", "index_wrap",
-                 "last_interval_bad", "first_ordinal")
+                 "last_interval_bad", "first_ordinal", "stride_multiples")
 
     INDEX_WRAP = 100_000_000  # 8-digit doc index domain
 
-    def __init__(self, expected_stride: int | None = None, index_wrap: int | None = None):
+    def __init__(
+        self,
+        expected_stride: int | None = None,
+        index_wrap: int | None = None,
+        stride_multiples: bool = False,
+    ):
         self.last_idx: int | None = None
         self.expected_stride = expected_stride
         self.index_wrap = index_wrap or self.INDEX_WRAP
+        # filtered-stream mode (--filter-sources + --expect-stride): the
+        # doc-index stride is PARTITION-global, so a source-filtered view
+        # legitimately skips rows — each skipped row advances the index by
+        # exactly `stride`, so the surviving intervals must be non-zero
+        # MULTIPLES of the stride. Exact equality would flag every gap the
+        # filter itself created (code-review r3); repeats (delta 0) and
+        # non-multiple gaps remain genuine violations with full E44x power.
+        self.stride_multiples = stride_multiples
         # carried across batches: was the last checked interval a period
         # mismatch (E440/E441 fresh-vs-continuation classification)?
         self.last_interval_bad = False
@@ -114,7 +127,10 @@ class RunningState:
             # valid row of the partition has no predecessor interval
             stride = self.expected_stride
             delta = np.mod(seq - prev, self.index_wrap)
-            bad = delta != stride
+            if self.stride_multiples and stride > 0:
+                bad = (delta == 0) | (np.mod(delta, stride) != 0)
+            else:
+                bad = delta != stride
             no_interval = np.zeros(len(seq), dtype=bool)
             if not have_prev:
                 bad[0] = False
@@ -129,17 +145,22 @@ class RunningState:
             cont = per & prev_bad
             fresh = per & ~prev_bad
             self.last_interval_bad = bool(bad[-1])
+            expect_str = (
+                f"a multiple of expected {stride} (filtered stream)"
+                if self.stride_multiples
+                else f"expected {stride}"
+            )
             for mask, code, fmt in (
                 (
                     fresh,
                     S.E_PERIOD,
-                    lambda c, p, d: f"doc index stride {d} != expected {stride} ({c} after {p})",
+                    lambda c, p, d: f"doc index stride {d} != {expect_str} ({c} after {p})",
                 ),
                 (
                     cont,
                     S.E_PERIOD_CONT,
                     lambda c, p, d: (
-                        f"doc index stride {d} != expected {stride} "
+                        f"doc index stride {d} != {expect_str} "
                         f"({c} after {p}; continuation of previous mismatch)"
                     ),
                 ),

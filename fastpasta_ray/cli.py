@@ -62,13 +62,7 @@ def cmd_check(args) -> int:
         from fastpasta_ray.pipelines.check import load_stats_profile
 
         profile = load_stats_profile(args.input_stats)
-    if args.checks_config:
-        from fastpasta_ray.checks.registry import load_config
-
-        cfg = load_config(args.checks_config)
-    else:
-        cfg = None
-    cfg = cfg or CheckConfig(
+    cli_fields = dict(
         running_checks=not args.sanity_only,
         enabled_codes=tuple(args.codes.split(",")) if args.codes else None,
         max_errors_per_part=args.max_errors,
@@ -86,6 +80,22 @@ def cmd_check(args) -> int:
         min_segments=args.min_segments,
         max_segments=args.max_segments,
     )
+    if args.checks_config:
+        # config file is the base; CLI flags that DIFFER from the
+        # CheckConfig default override it (a flag the user typed must
+        # never be silently ignored — code-review r3; a flag left at its
+        # default defers to the file)
+        from dataclasses import replace
+
+        from fastpasta_ray.checks.registry import load_config
+
+        defaults = CheckConfig()
+        overrides = {
+            k: v for k, v in cli_fields.items() if v != getattr(defaults, k)
+        }
+        cfg = replace(load_config(args.checks_config), **overrides)
+    else:
+        cfg = CheckConfig(**cli_fields)
     res = run_check(
         args.input_dir,
         cfg=cfg,
@@ -190,6 +200,13 @@ def cmd_dedup(args) -> int:
     _ray_session()
     import ray
 
+    if args.clusters and args.method == "exact":
+        print(
+            "error: --clusters requires --method minhash or simhash "
+            "(exact dedup writes the surviving corpus rows, not pairs)",
+            file=sys.stderr,
+        )
+        return 2
     ds = ray.data.read_parquet(args.input)
     id_col = args.id_col
     if args.method in ("minhash", "simhash"):
@@ -251,7 +268,7 @@ def cmd_dedup(args) -> int:
         out = exact_jaccard_verify(
             cand, ds, threshold=args.threshold, id_col=args.id_col, text_col=args.text_col
         )
-    if args.clusters and args.method in ("minhash", "simhash"):
+    if args.clusters:
         # connected components over the verified pairs → (doc_id,
         # cluster_id) assignments, the standard fuzzy-dedup final step
         from fastpasta_ray.functions.dedup import near_dup_clusters

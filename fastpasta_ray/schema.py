@@ -122,6 +122,22 @@ ALL_CODES = (
 STATS_SENTINEL = "__STATS__"
 
 
+def source_set(sources) -> pa.Array:
+    """Value set for :func:`source_mask` — build once per file/stage."""
+    return pa.array(list(sources), type=pa.string())
+
+
+def source_mask(column, src_set: pa.Array) -> pa.Array:
+    """Boolean keep-mask for the --filter-sources scope (the reference's
+    global --filter-link group, config.rs:75-103): True where ``column``
+    is a member of ``src_set``; nulls never match. ONE definition shared
+    by the validation pass, the key-check exchange (both sides) and the
+    views, so the membership semantics cannot drift between passes."""
+    import pyarrow.compute as pc
+
+    return pc.fill_null(pc.is_in(column, value_set=src_set), False)
+
+
 def format_message(code: str, detail: str) -> str:
     """Frozen violation message body: ``[Exx] detail``.
 

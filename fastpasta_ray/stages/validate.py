@@ -191,7 +191,15 @@ class ValidateFiles:
         cfg = self.cfg
         stats = PartStats(vocab=cfg.vocab, has_payload=cfg.read_payload)
         running = (
-            RunningState(cfg.expected_index_stride) if cfg.running_checks else None
+            RunningState(
+                cfg.expected_index_stride,
+                # filtered view of a partition-global stride-k stream:
+                # surviving intervals are exact multiples of k (see
+                # RunningState.stride_multiples)
+                stride_multiples=cfg.filter_sources is not None,
+            )
+            if cfg.running_checks
+            else None
         )
         emitted = 0
         part = None
@@ -229,9 +237,7 @@ class ValidateFiles:
             return
         columns = None if cfg.read_payload else ["doc_id", "n_tok", "source"]
         src_set = (
-            pa.array(list(cfg.filter_sources), type=pa.string())
-            if cfg.filter_sources is not None
-            else None
+            S.source_set(cfg.filter_sources) if cfg.filter_sources is not None else None
         )
         for batch in iter_file_batches(path, columns, cfg.batch_rows):
             part = batch["part"][0].as_py() if part is None else part
@@ -239,8 +245,7 @@ class ValidateFiles:
                 # scope the whole analysis to the filtered sources; the
                 # row_index column (attached pre-filter) keeps naming the
                 # original file positions in any violation
-                keep = pc.fill_null(pc.is_in(batch["source"], value_set=src_set), False)
-                batch = batch.filter(keep)
+                batch = batch.filter(S.source_mask(batch["source"], src_set))
                 if batch.num_rows == 0:
                     continue
             # --- stats accumulation (vectorized, one pass) -----------------

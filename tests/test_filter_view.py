@@ -218,3 +218,127 @@ def test_filter_sources_config_roundtrip(tmp_path):
     p = str(tmp_path / "cfg.toml")
     save_config(CheckConfig(filter_sources=("web", "code")), p)
     assert load_config(p).filter_sources == ("web", "code")
+
+
+def test_filter_sources_manifest_side_scoped(tmp_path):
+    """Code-review r3: the manifest side of the key-check exchange must be
+    scoped by the same filter, or every filtered-out source's manifest row
+    becomes a spurious E701."""
+    import pyarrow as pa
+
+    from fastpasta_ray.stages.validate import CheckConfig
+
+    d = str(tmp_path / "fix")
+    os.makedirs(d)
+    seq = pa.table(
+        {
+            "doc_id": pa.array(["books/2024/00000001", "web/2024/00000002"]),
+            "tokens": pa.array([[1, 2], [3]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2, 1], type=pa.int32()),
+            "source": pa.array(["books", "web"]),
+        }
+    )
+    pq.write_table(seq, os.path.join(d, "part-0000.parquet"))
+    man = pa.table(
+        {
+            "doc_id": pa.array(["books/2024/00000001", "web/2024/00000002"]),
+            "source": pa.array(["books", "web"]),
+            "expected_n_tok": pa.array([2, 1], type=pa.int32()),
+        }
+    )
+    mpath = os.path.join(d, "_manifest.parquet")
+    pq.write_table(man, mpath)
+
+    res = run_check(d, manifest_path=mpath)
+    assert res.violations.num_rows == 0
+    res_f = run_check(
+        d, cfg=CheckConfig(filter_sources=("books",)), manifest_path=mpath
+    )
+    assert res_f.violations.num_rows == 0, res_f.violations.to_pydict()
+
+
+def test_filter_sources_stride_multiples(tmp_path):
+    """Code-review r3: a source-filtered view of a stride-k partition has
+    gaps that are exact multiples of k — those must NOT be E440/E441; a
+    genuine non-multiple gap still must."""
+    import pyarrow as pa
+
+    from fastpasta_ray.stages.validate import CheckConfig
+
+    d = str(tmp_path / "fix")
+    os.makedirs(d)
+    # global stream stride 1 alternating sources; one genuine corruption:
+    # the last books index jumps by 2.5 strides' worth of nothing — use a
+    # half-step index (books gap 4->7 = 3 strides OK, then 7->8 wrong for
+    # filtered stream? no: 8-7=1 is a multiple) — instead corrupt by
+    # repeating an index.
+    ids = [
+        "books/0001/00000001",
+        "web/0001/00000002",
+        "books/0001/00000003",
+        "web/0001/00000004",
+        "books/0001/00000003",  # repeat (E442) in the books stream
+    ]
+    srcs = ["books", "web", "books", "web", "books"]
+    seq = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "tokens": pa.array([[1]] * 5, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([1] * 5, type=pa.int32()),
+            "source": pa.array(srcs),
+        }
+    )
+    pq.write_table(seq, os.path.join(d, "part-0000.parquet"))
+    res = run_check(
+        d,
+        cfg=CheckConfig(
+            filter_sources=("books",), expected_index_stride=1
+        ),
+        with_key_checks=False,
+    )
+    codes = res.violations["code"].to_pylist()
+    # the filter-created gaps (1->3) are stride multiples: no E440/E441;
+    # the repeated index (3 after 3... mod-wrap: 3->3 delta 0) is E442,
+    # and the preceding 3->3? Actually 4 is web; books stream is 1,3,3:
+    # interval 3->3 = E442 only.
+    assert codes == ["E442"], res.violations.to_pydict()
+
+
+def test_checks_config_cli_flag_override(tmp_path):
+    """Code-review r3: a CLI flag typed alongside --checks-config must
+    override the file, not be silently ignored."""
+    import json as _json
+
+    from fastpasta_ray import cli
+    from fastpasta_ray.checks.registry import save_config
+    from fastpasta_ray.stages.validate import CheckConfig
+
+    d = str(tmp_path / "fix")
+    write_fixture(d, SynthSpec(n_rows=200, n_parts=1), manifest=False,
+                  defect="bad_vocab", defect_k=2)
+    cfgp = str(tmp_path / "cfg.toml")
+    save_config(CheckConfig(), cfgp)  # unfiltered config
+    stats = str(tmp_path / "s.json")
+    # filter to a source that carries no defect rows OR all: we only need
+    # row_count to prove the filter was applied
+    rc = cli.main([
+        "check", d, "--checks-config", cfgp,
+        "--filter-sources", "books", "--mute-errors",
+        "--output-stats", stats,
+    ])
+    with open(stats) as f:
+        snap = _json.load(f)
+    assert snap["profile"]["row_count"] < 200
+    assert snap["profile"]["source_histogram"].keys() <= {"books"}
+
+
+def test_config_empty_tuple_roundtrip(tmp_path):
+    from fastpasta_ray.checks.registry import load_config, save_config
+    from fastpasta_ray.stages.validate import CheckConfig
+
+    for ext in ("toml", "json"):
+        p = str(tmp_path / f"cfg.{ext}")
+        save_config(CheckConfig(filter_sources=(), enabled_codes=()), p)
+        back = load_config(p)
+        assert back.filter_sources == ()
+        assert back.enabled_codes == ()
