@@ -23,14 +23,13 @@ def _scoped(input_dir: str, limit: int, sources: tuple | None):
     ds = read_sequences(input_dir)
     if sources is not None:
         import pyarrow as pa
-        import pyarrow.compute as pc
 
-        src_set = pa.array(list(sources), type=pa.string())
+        from fastpasta_ray.schema import source_mask, source_set
+
+        src_set = source_set(sources)
 
         def keep(b: pa.Table) -> pa.Table:
-            return b.filter(
-                pc.fill_null(pc.is_in(b["source"], value_set=src_set), False)
-            )
+            return b.filter(source_mask(b["source"], src_set))
 
         ds = ds.map_batches(keep, batch_format="pyarrow")
     return ds.limit(limit)
