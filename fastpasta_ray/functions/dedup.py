@@ -193,11 +193,15 @@ def _shingle_hashes_flat(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
             np.zeros(n_texts, dtype=np.uint64),
             np.arange(n_texts + 1, dtype=np.int64),
         )
-    win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(np.uint64)
-    poly = np.zeros(len(win), dtype=np.uint64)
+    # polynomial over shifted views of the raw uint8 buffer — no windowed
+    # (n_bytes x k) uint64 matrix is ever materialized (the astype of that
+    # matrix dominated the whole minhash signature stage)
+    m = len(buf) - k + 1
+    poly = np.zeros(m, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for i in range(k):
-            poly = poly * np.uint64(1099511628211) + win[:, i]
+            poly *= np.uint64(1099511628211)
+            poly += buf[i : i + m]  # uint8 upcasts in buffered chunks
     h = splitmix64(poly)
     starts = np.zeros(n_texts, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
@@ -805,16 +809,19 @@ class SimHasher:
         hu, du = hs[keep], do[keep]
         ucounts = np.bincount(du, minlength=n_docs)
         # bit matrix: unpackbits over the little-endian byte view gives each
-        # hash's 64 bits; bit b of the uint64 is byte b//8, msb-first flip
+        # hash's 64 bits; bit b of the uint64 is byte b//8, msb-first flip.
+        # Kept uint8 (not int32): the reduceat below accumulates into int64
+        # directly via dtype=, so the 4x-wider astype'd copy of the hot
+        # (n_shingles, 64) matrix never exists
         bits = np.unpackbits(
             np.ascontiguousarray(hu).view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-        ).astype(np.int32)
+        )
         starts = np.zeros(n_docs, dtype=np.int64)
         np.cumsum(ucounts[:-1], out=starts[1:])
         nz = ucounts > 0
         sums = np.zeros((n_docs, 64), dtype=np.int64)
         if nz.any() and len(bits):
-            sums[nz] = np.add.reduceat(bits, starts[nz], axis=0)
+            sums[nz] = np.add.reduceat(bits, starts[nz], axis=0, dtype=np.int64)
         votes = 2 * sums - ucounts[:, None]
         weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
         out = ((votes > 0) * weights).sum(axis=1, dtype=np.uint64)
