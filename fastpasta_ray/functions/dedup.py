@@ -303,6 +303,35 @@ def _list_parts(col) -> tuple[np.ndarray, np.ndarray]:
     return flat, off
 
 
+def _grouped(ds, key: str, fn, *, n_rows: int | None = None, small_rows: int = 500_000):
+    """``groupby(key).map_groups(fn)`` — or, below ``small_rows`` input
+    rows, ONE coalesced task applying ``fn`` to the whole table at once.
+
+    Every group fn in this module segments by its exact fine-grained key
+    internally (``bucket_pairs`` by band_hash, the SimHash verify by qkey,
+    the Jaccard verify by per-doc searchsorted), so the coarse groupby
+    exists only to bound per-task memory. For small inputs the sort-based
+    shuffle (sample + partition + reduce tasks, ~0.5-1 s fixed cost per
+    groupby on this box) is pure overhead: a narrow ``repartition(1)``
+    plus a single whole-block ``map_batches`` call computes the identical
+    result. Auto-selected like the packed/slim exchange modes in
+    ``checks.key_checks`` — the distributed path is unchanged at scale.
+
+    Callers materialize ``ds`` first in BOTH paths: the groupby samples
+    its input (a lazy upstream would run the expensive signature stage
+    twice), and the small path's ``repartition(1)`` FUSES with a lazy
+    upstream map into one task (measured: the signature stage silently
+    dropped to single-core). A materialized input keeps the expensive
+    stage parallel and makes ``count()`` a free metadata read.
+
+    ``n_rows``: pass the row count (or a safe upper bound) if already
+    known; otherwise read from block metadata."""
+    n = ds.count() if n_rows is None else n_rows
+    if n <= small_rows:
+        return ds.repartition(1).map_batches(fn, batch_format="pyarrow", batch_size=None)
+    return ds.groupby(key).map_groups(fn, batch_format="pyarrow")
+
+
 def exact_jaccard_verify(
     pairs: "ray.data.Dataset",
     docs: "ray.data.Dataset",
@@ -567,9 +596,18 @@ def exact_jaccard_verify(
     # RE-EXECUTE a lazy read+filter chain (measured 1.5-4.7 s vs 0.1 s on
     # materialized inputs); after the candidate-id pushdown the set rows
     # are O(candidate docs) — tiny
+    # materialized: keeps the corpus scan parallel (repartition would fuse
+    # a lazy map into one task) and shields it from groupby sampling.
+    # Small candidate sets then skip the sort-shuffle: one task verifies
+    # all buckets at once (verify keys sets by doc id, not by bucket —
+    # identical result); union rows ≤ pairs + 2 set rows per pair.
     sets_ds = docs.map_batches(set_rows, batch_format="pyarrow").materialize()
-    return (
-        p_ds.union(sets_ds).groupby("key").map_groups(verify, batch_format="pyarrow")
+    return _grouped(
+        p_ds.union(sets_ds),
+        "key",
+        verify,
+        n_rows=3 * len(ab),
+        small_rows=20_000,
     )
 
 
@@ -769,12 +807,11 @@ def minhash_lsh_pairs(
     # input and would re-run the signature stage); the groupby output flows
     # LAZILY into the verify, whose pairs.materialize() is its only
     # execution — 4 dataset executions total for the whole pipeline
-    pairs = (
-        ds.map_batches(band_keys, batch_format="pyarrow", batch_size=2048)
-        .materialize()
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .map_batches(audit_and_filter, batch_format="pyarrow")
+    # materialized: keeps the signature stage parallel (see _grouped) and
+    # shields it from groupby sampling; band keys are slim ints
+    keys_ds = ds.map_batches(band_keys, batch_format="pyarrow", batch_size=2048).materialize()
+    pairs = _grouped(keys_ds, "bucket", bucket_pairs).map_batches(
+        audit_and_filter, batch_format="pyarrow"
     )
     return exact_jaccard_verify(
         pairs, ds, threshold=threshold, id_col=id_col, text_col=text_col,
@@ -928,15 +965,14 @@ def simhash_near_dups(
             }
         )
 
-    pairs = (
+    # materialized: keeps the signature stage parallel (see _grouped) and
+    # shields it from groupby sampling; combo keys are slim ints
+    keys_ds = (
         ds.map_batches(SimHasher(), batch_format="pyarrow")
         .map_batches(combo_keys, batch_format="pyarrow")
-        # materialized: the groupby's sampling pass would re-execute the
-        # signature stage (see minhash_lsh_pairs); combo keys are slim ints
         .materialize()
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pyarrow")
     )
+    pairs = _grouped(keys_ds, "bucket", verify)
     if not aggregate:
         # raw candidates (a pair may appear once per shared combo key) —
         # callers that feed exact_jaccard_verify skip this groupby since
