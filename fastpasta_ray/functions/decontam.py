@@ -1,0 +1,126 @@
+"""Benchmark decontamination: flag corpus documents that share word
+n-grams with an evaluation/benchmark set.
+
+The standard training-data hygiene step (n-gram overlap decontamination
+as published for GPT-3 appendix C / Llama 2 §A.6 — public method): any
+training document containing an n-gram that also occurs in a held-out
+benchmark is flagged (and typically dropped) so downstream evals are not
+contaminated.
+
+Scale shape — broadcast, not shuffle: benchmark sets are small (10^4-10^6
+documents) while the corpus is the 10^12-row side, so the benchmark's
+unique n-gram hash set is built once, sorted, broadcast via ``ray.put``,
+and every corpus batch does a vectorized ``searchsorted`` membership test
+against it — zero shuffle, pure streaming ``map_batches``. This mirrors
+the manifest/IHW-mask broadcast-lookup pattern (SURVEY §2.5 A4) rather
+than fastPASTA's per-link dispatch; there is no reference analog —
+fastPASTA has no cross-corpus membership operator.
+
+N-grams are word n-grams over a single-space split, hashed per doc with
+SET semantics (``word_ngram_hashes_flat``) — identical to the exact
+Jaccard verify's ground truth, so a DuckDB oracle can recompute the same
+overlap counts from strings.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from fastpasta_ray.functions.dedup import word_ngram_hashes_flat
+
+logger = logging.getLogger(__name__)
+
+# Driver-held benchmark set cap: 2^27 unique n-grams x 8 B = 1 GiB. Real
+# eval suites are orders of magnitude below this; hitting the cap means
+# the "benchmark" side is actually a corpus and needs the shuffle-join
+# path instead of a broadcast.
+MAX_BENCH_NGRAMS = 1 << 27
+
+
+def benchmark_ngram_set(
+    bench: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    ngram_n: int = 3,
+) -> np.ndarray:
+    """Sorted unique word-n-gram hashes of the benchmark corpus.
+
+    Per-batch unique sets are computed in parallel tasks; the driver only
+    merges the (already-deduped) partials — bounded by MAX_BENCH_NGRAMS,
+    enforced loudly."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _ = word_ngram_hashes_flat(b[text_col], ngram_n)
+        u = np.unique(flat)
+        return pa.table({"sh": pa.array(u, type=pa.uint64())})
+
+    parts = [
+        t["sh"].to_numpy(zero_copy_only=False)
+        for t in ray.get(bench.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows
+    ]
+    if not parts:
+        return np.zeros(0, dtype=np.uint64)
+    out = np.unique(np.concatenate(parts))
+    if len(out) > MAX_BENCH_NGRAMS:
+        raise ValueError(
+            f"benchmark n-gram set has {len(out)} unique n-grams "
+            f"(> {MAX_BENCH_NGRAMS}); this side is too large for a broadcast "
+            "— decontaminate via a hash-partitioned n-gram join instead"
+        )
+    return out
+
+
+def contamination_check(
+    docs: "ray.data.Dataset",
+    bench: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 3,
+    min_overlap: int = 1,
+) -> "ray.data.Dataset":
+    """Per-document benchmark overlap: (id, n_overlap) for every corpus
+    doc whose DISTINCT word-n-gram overlap with the benchmark set is
+    ≥ ``min_overlap``.
+
+    One broadcast (sorted benchmark hash set), one streaming corpus pass;
+    the membership test and per-doc counts are fully vectorized
+    (searchsorted + reduceat)."""
+    bset = benchmark_ngram_set(bench, text_col=text_col, ngram_n=ngram_n)
+    logger.info(
+        "contamination_check: benchmark set has %d unique %d-grams (%.1f MB broadcast)",
+        len(bset), ngram_n, bset.nbytes / 1e6,
+    )
+    bref = ray.put(bset)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bs = ray.get(bref)  # zero-copy plasma read, once per task
+        flat, off = word_ngram_hashes_flat(batch[text_col], ngram_n)
+        if len(bs) and len(flat):
+            pos = np.clip(np.searchsorted(bs, flat), 0, len(bs) - 1)
+            hit = (bs[pos] == flat).astype(np.int64)
+        else:
+            hit = np.zeros(len(flat), dtype=np.int64)
+        n_docs = batch.num_rows
+        starts = off[:-1]
+        counts = off[1:] - starts
+        n_overlap = np.zeros(n_docs, dtype=np.int64)
+        nz = counts > 0
+        if nz.any() and len(hit):
+            n_overlap[nz] = np.add.reduceat(hit, starts[nz])
+        keep = n_overlap >= min_overlap
+        kept = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                id_col: kept[id_col],
+                "n_overlap": pa.array(n_overlap[keep], type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(flag, batch_format="pyarrow")

@@ -1727,3 +1727,50 @@ ORACLES["deterministic_sample"] = """
     FROM documents WHERE doc_id % 10 < 3 GROUP BY source
 """
 QUERIES["deterministic_sample"] = q_deterministic_sample
+
+
+def q_contamination_check(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix C-style n-gram overlap):
+    the 'benchmark' is the deterministic doc_id % 101 == 0 slice of the
+    corpus (SQL-expressible), the corpus is everything else; a corpus doc
+    is flagged with its count of DISTINCT word-3-grams that also occur
+    anywhere in the benchmark. One broadcast + one streaming pass — no
+    shuffle (functions/decontam.py)."""
+    from fastpasta_ray.functions.decontam import contamination_check
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+
+    def _mod_filter(keep_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            did = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = did % 101 == 0
+            return b.filter(pa.array(m if keep_bench else ~m))
+
+        return f
+
+    bench = ds.map_batches(_mod_filter(True), batch_format="pyarrow")
+    corpus = ds.map_batches(_mod_filter(False), batch_format="pyarrow")
+    out = contamination_check(corpus, bench, ngram_n=3)
+    t = _to_table(out)
+    if t is None or t.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_overlap": pa.array([], type=pa.int64()),
+            }
+        )
+    return t.sort_by([("doc_id", "ascending")])
+
+
+ORACLES["contamination_check"] = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+          FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+    gu AS (SELECT DISTINCT doc_id, sh FROM g),
+    bench AS (SELECT DISTINCT sh FROM gu WHERE doc_id % 101 = 0),
+    corpus AS (SELECT * FROM gu WHERE doc_id % 101 <> 0)
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM corpus c JOIN bench b ON c.sh = b.sh
+    GROUP BY c.doc_id ORDER BY c.doc_id
+"""
+QUERIES["contamination_check"] = q_contamination_check

@@ -571,3 +571,39 @@ def test_near_dup_clusters_union_find():
     # empty input → empty int64 table
     e = near_dup_clusters(pairs.slice(0, 0))
     assert e.num_rows == 0 and e["doc_id"].type == pa.int64()
+
+
+def test_contamination_check():
+    from fastpasta_ray.functions.decontam import benchmark_ngram_set, contamination_check
+
+    bench_docs = pa.table(
+        {
+            "doc_id": pa.array([100, 101], type=pa.int64()),
+            "text": ["the quick brown fox jumps", "zeta eta theta"],
+        }
+    )
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [
+                "the quick brown fox sleeps",   # shares 'the quick brown', 'quick brown fox'
+                "completely different words here",
+                "zeta eta theta",               # shares its single 3-gram
+            ],
+        }
+    )
+    bds = ray.data.from_arrow(bench_docs)
+    cds = ray.data.from_arrow(corpus)
+    bset = benchmark_ngram_set(bds, ngram_n=3)
+    assert len(bset) == 4  # 3 grams from doc 100, 1 from doc 101
+    out = contamination_check(cds, bds, ngram_n=3).take_all()
+    by_id = {r["doc_id"]: r["n_overlap"] for r in out}
+    assert by_id == {1: 2, 3: 1}
+
+    # min_overlap gate drops the single-gram hit
+    out2 = contamination_check(cds, bds, ngram_n=3, min_overlap=2).take_all()
+    assert [r["doc_id"] for r in out2] == [1]
+
+    # empty benchmark: nothing flagged, no crash
+    empty = ray.data.from_arrow(bench_docs.slice(0, 0))
+    assert contamination_check(cds, empty, ngram_n=3).take_all() == []
