@@ -77,3 +77,58 @@ def stratified_sample(
         return batch.filter(pa.array((h % np.uint64(denom)) < thr))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def mixture_sample(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str,
+    stratum_col: str,
+    weights: dict[str, int],
+    denom: int = 1000,
+    hash_keys: bool = True,
+) -> tuple["ray.data.Dataset", dict[str, int]]:
+    """Deterministically downsample to a target mixture (the data-mixing
+    step of training-corpus assembly: "20% code, 30% web, ..."). Strata
+    not in ``weights`` are dropped.
+
+    All sizing is INTEGER math so a SQL oracle can replicate it exactly:
+    with ``W = sum(weights)``, the largest total corpus achievable at the
+    exact target mix is ``T = min_s(count_s * W // w_s)``; each stratum's
+    keep threshold is ``thr_s = (w_s * T * denom) // (W * count_s)`` and a
+    row survives iff ``key % denom < thr_s`` (``hash_keys=False``) or the
+    splitmix64-hashed key passes the same test (``hash_keys=True`` — the
+    production default for non-uniform keys).
+
+    The per-stratum counts come from one groupby of per-batch partial
+    counts (a tiny shuffle: one row per stratum per block); the filter
+    itself is a zero-shuffle streaming pass. Returns ``(sampled dataset,
+    thresholds)``. int64-safe up to count 10^12 x denom 10^3 x weight
+    10^2."""
+    W = sum(weights.values())
+    if W <= 0:
+        raise ValueError("mixture_sample: weights must sum to a positive value")
+    counts: dict[str, int] = {}
+    for row in ds.groupby(stratum_col).count().take_all():
+        counts[row[stratum_col]] = int(row["count()"])
+    missing = [s for s, w in weights.items() if w > 0 and not counts.get(s)]
+    if missing:
+        raise ValueError(f"mixture_sample: no rows for weighted strata {missing}")
+    T = min(counts[s] * W // w for s, w in weights.items() if w > 0)
+    thr = {
+        s: (w * T * denom) // (W * counts[s]) if w > 0 else 0
+        for s, w in weights.items()
+    }
+
+    def f(batch: pa.Table) -> pa.Table:
+        if hash_keys:
+            h = _row_hashes(batch, key_col)
+        else:
+            h = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        strata = batch[stratum_col].to_pylist()
+        t = np.fromiter(
+            (thr.get(s, 0) for s in strata), dtype=np.uint64, count=batch.num_rows
+        )
+        return batch.filter(pa.array((h % np.uint64(denom)) < t))
+
+    return ds.map_batches(f, batch_format="pyarrow"), thr

@@ -1774,3 +1774,41 @@ ORACLES["contamination_check"] = """
     GROUP BY c.doc_id ORDER BY c.doc_id
 """
 QUERIES["contamination_check"] = q_contamination_check
+
+
+def q_mixture_sample(sf_dir: str):
+    """Data-mixing: rebalance three sources to an exact 5:3:2 target mix
+    with deterministic integer-math thresholds (functions/sampling.py
+    mixture_sample, hash_keys=False so the SQL oracle replicates the
+    doc_id % denom predicate exactly)."""
+    from fastpasta_ray.functions.sampling import mixture_sample
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source"])
+    sampled, _thr = mixture_sample(
+        ds,
+        key_col="doc_id",
+        stratum_col="source",
+        weights={"src0": 5, "src1": 3, "src2": 2},
+        denom=1000,
+        hash_keys=False,
+    )
+    out = sampled.groupby("source").count()
+    t = _to_table(out)
+    t = t.rename_columns(["source", "n_sampled"])
+    return t.set_column(
+        t.column_names.index("n_sampled"), "n_sampled", pc.cast(t["n_sampled"], pa.int64())
+    ).sort_by([("source", "ascending")])
+
+
+ORACLES["mixture_sample"] = """
+    WITH cnt AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+    w(source, wt) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),
+    j AS (SELECT w.source, wt, c FROM w JOIN cnt ON w.source = cnt.source),
+    t AS (SELECT MIN(c * 10 // wt) AS tt FROM j),
+    thr AS (SELECT source, (wt * tt * 1000) // (10 * c) AS th FROM j, t)
+    SELECT d.source, COUNT(*) AS n_sampled
+    FROM documents d JOIN thr ON d.source = thr.source
+    WHERE d.doc_id % 1000 < thr.th
+    GROUP BY d.source ORDER BY d.source
+"""
+QUERIES["mixture_sample"] = q_mixture_sample

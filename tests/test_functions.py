@@ -607,3 +607,45 @@ def test_contamination_check():
     # empty benchmark: nothing flagged, no crash
     empty = ray.data.from_arrow(bench_docs.slice(0, 0))
     assert contamination_check(cds, empty, ngram_n=3).take_all() == []
+
+
+def test_mixture_sample_exact_mix_and_determinism():
+    from fastpasta_ray.functions.sampling import mixture_sample
+
+    rng = np.random.default_rng(7)
+    n = {"a": 6000, "b": 3000, "c": 500}
+    ids, srcs = [], []
+    base = 0
+    for s, k in n.items():
+        ids.extend(range(base, base + k))
+        srcs.extend([s] * k)
+        base += k
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "source": srcs})
+    ds = ray.data.from_arrow(t)
+    # target 1:1:1 — c is the limiting stratum (500 * 3 = 1500 total)
+    sampled, thr = mixture_sample(
+        ds, key_col="doc_id", stratum_col="source",
+        weights={"a": 1, "b": 1, "c": 1}, denom=1000,
+    )
+    out = sampled.take_all()
+    got = {}
+    for r in out:
+        got[r["source"]] = got.get(r["source"], 0) + 1
+    # c keeps everything (thr=1000); a and b hash-sample toward 500
+    assert thr["c"] == 1000 and got["c"] == 500
+    for s in ("a", "b"):
+        assert abs(got[s] - 500) < 100  # hash sampling is approximate per stratum
+    # deterministic: a second run returns the identical sample
+    sampled2, thr2 = mixture_sample(
+        ds, key_col="doc_id", stratum_col="source",
+        weights={"a": 1, "b": 1, "c": 1}, denom=1000,
+    )
+    assert thr2 == thr
+    assert sorted(r["doc_id"] for r in sampled2.take_all()) == sorted(
+        r["doc_id"] for r in out
+    )
+    # weighted stratum with zero rows fails loudly
+    with pytest.raises(ValueError):
+        mixture_sample(
+            ds, key_col="doc_id", stratum_col="source", weights={"zz": 1}
+        )
