@@ -360,3 +360,94 @@ def ivf_topk_exact(
     if round_to is not None:
         df["cosine"] = df["cosine"].round(round_to)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def kmeans_fit(
+    ds: "ray.data.Dataset",
+    *,
+    k: int = 8,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iter: int = 5,
+    init: np.ndarray | None = None,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over the embedding column (spherical:
+    cosine assignment, mean-renormalized centroids) — the clustering step
+    of embedding-based data curation (e.g. cluster-balanced sampling).
+
+    Scale shape per iteration: centroids broadcast once via ``ray.put``;
+    ONE streaming pass emits per-block partial (sum, count) rows (k x dim
+    floats per block — independent of block row count); the driver merges
+    partials and renormalizes. No shuffle, no per-row driver work;
+    assignment is a blocked matmul. Deterministic init via the
+    hash-sampled mini-k-means (``build_ivf_centroids``) unless ``init``
+    is given. Empty clusters keep their previous centroid (standard
+    Lloyd's fallback)."""
+    cent = (
+        _normalize(np.asarray(init, dtype=np.float64))
+        if init is not None
+        else build_ivf_centroids(ds, n_centroids=k, emb_col=emb_col, id_col=id_col)
+    )
+    k = len(cent)
+
+    for _ in range(n_iter):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _normalize(_emb_matrix(batch, emb_col))
+            a = (m @ c.T).argmax(axis=1)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            # one-hot.T @ m gives per-cluster sums without a Python loop
+            oh = np.zeros((len(m), len(c)), dtype=np.float64)
+            oh[np.arange(len(m)), a] = 1.0
+            sums = oh.T @ m
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                    "count": pa.array(counts),
+                    "sum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        dim = cent.shape[1]
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in parts:
+            sums[r["cluster"]] += np.asarray(r["sum"], dtype=np.float64)
+            counts[r["cluster"]] += r["count"]
+        nz = counts > 0
+        new = cent.copy()
+        new[nz] = _normalize(sums[nz] / counts[nz, None])
+        cent = new
+    return cent
+
+
+def kmeans_assign(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Assign every row to its nearest (cosine) centroid — one broadcast,
+    one streaming pass; ties break to the lowest cluster index (numpy
+    argmax semantics, mirrored by the SQL oracle's ORDER BY sim DESC,
+    cluster ASC)."""
+    cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(_emb_matrix(batch, emb_col))
+        sims = m @ c.T
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(sims.argmax(axis=1).astype(np.int64)),
+                "cosine": pa.array(sims.max(axis=1)),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -1812,3 +1812,44 @@ ORACLES["mixture_sample"] = """
     GROUP BY d.source ORDER BY d.source
 """
 QUERIES["mixture_sample"] = q_mixture_sample
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Embedding clustering (data-curation step): assign every vector to
+    its nearest cosine centroid. Centroids here are the embeddings of the
+    8 smallest vec_ids — a deterministic, SQL-expressible init so the
+    oracle can replicate assignment exactly (ties break to the lowest
+    cluster index on both sides); production clustering uses
+    functions/similarity.py kmeans_fit (distributed Lloyd's, tested in
+    test_functions)."""
+    from fastpasta_ray.functions.similarity import kmeans_assign
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seed_rows = ds.sort("vec_id").limit(8).take_all()
+    cent = np.asarray([r["embedding"] for r in seed_rows], dtype=np.float64)
+    out = kmeans_assign(ds, cent).groupby("cluster").count()
+    t = _to_table(out).rename_columns(["cluster", "n_assigned"])
+    return t.set_column(
+        t.column_names.index("n_assigned"), "n_assigned", pc.cast(t["n_assigned"], pa.int64())
+    ).sort_by([("cluster", "ascending")])
+
+
+ORACLES["kmeans_assign"] = """
+    WITH c AS (
+        SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    s AS (
+        SELECT e.vec_id, c.cluster,
+               list_cosine_similarity(e.embedding, c.embedding) AS sim
+        FROM embeddings e CROSS JOIN c
+    ),
+    r AS (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster ASC) AS rn
+        FROM s
+    )
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_assigned
+    FROM r WHERE rn = 1 GROUP BY cluster ORDER BY cluster
+"""
+QUERIES["kmeans_assign"] = q_kmeans_assign

@@ -649,3 +649,38 @@ def test_mixture_sample_exact_mix_and_determinism():
         mixture_sample(
             ds, key_col="doc_id", stratum_col="source", weights={"zz": 1}
         )
+
+
+def test_kmeans_fit_recovers_blobs():
+    from fastpasta_ray.functions.similarity import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(11)
+    dim, per = 16, 200
+    # three well-separated direction blobs on the sphere
+    bases = rng.normal(size=(3, dim))
+    bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+    pts = np.concatenate(
+        [b + 0.05 * rng.normal(size=(per, dim)) for b in bases]
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(pts)), type=pa.int64()),
+            "embedding": pa.array(list(pts.astype(np.float32)), type=pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    cent = kmeans_fit(ds, k=3, n_iter=6)
+    assert cent.shape == (3, dim)
+    out = kmeans_assign(ds, cent).take_all()
+    # every blob should land in exactly one cluster
+    lab = np.array([r["cluster"] for r in sorted(out, key=lambda r: r["vec_id"])])
+    for g in range(3):
+        seg = lab[g * per : (g + 1) * per]
+        assert (seg == seg[0]).all(), f"blob {g} split across clusters"
+    assert len({lab[0], lab[per], lab[2 * per]}) == 3
+    # deterministic across runs
+    cent2 = kmeans_fit(ds, k=3, n_iter=6)
+    assert np.allclose(cent, cent2)
+    # explicit init path
+    cent3 = kmeans_fit(ds, k=3, n_iter=0, init=bases)
+    assert np.allclose(cent3, bases / np.linalg.norm(bases, axis=1, keepdims=True))
