@@ -310,6 +310,86 @@ def cmd_text_stats(args) -> int:
     return 0
 
 
+def cmd_decontam(args) -> int:
+    """Benchmark decontamination: flag (default) or drop corpus documents
+    that share word n-grams with an eval set."""
+    _ray_session()
+    import ray
+
+    from fastpasta_ray.functions.decontam import contamination_check, decontaminate
+
+    docs = ray.data.read_parquet(args.input)
+    bench = ray.data.read_parquet(args.benchmark)
+    if args.drop:
+        out = decontaminate(
+            docs, bench, text_col=args.text_col,
+            ngram_n=args.ngram, min_overlap=args.min_overlap,
+        )
+    else:
+        out = contamination_check(
+            docs, bench, id_col=args.id_col, text_col=args.text_col,
+            ngram_n=args.ngram, min_overlap=args.min_overlap,
+        )
+    out.write_parquet(args.output)
+    n_in = docs.count()
+    n_out = ray.data.read_parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "mode": "drop" if args.drop else "flag",
+                "ngram": args.ngram,
+                "rows_in": n_in,
+                "rows_out": n_out,
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_mixture(args) -> int:
+    """Rebalance a corpus to an exact target stratum mixture with
+    deterministic hash thresholds; prints the per-stratum thresholds."""
+    _ray_session()
+    import ray
+
+    from fastpasta_ray.functions.sampling import mixture_sample
+
+    try:
+        weights = {
+            k.strip(): int(v)
+            for k, v in (pair.split("=", 1) for pair in args.weights.split(","))
+        }
+    except ValueError:
+        print(
+            "error: --weights must be 'stratum=int,stratum=int,...' "
+            f"(got {args.weights!r})", file=sys.stderr,
+        )
+        return 2
+    ds = ray.data.read_parquet(args.input)
+    try:
+        sampled, thr = mixture_sample(
+            ds, key_col=args.key_col, stratum_col=args.stratum_col,
+            weights=weights, denom=args.denom,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    sampled.write_parquet(args.output)
+    n_out = ray.data.read_parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "weights": weights,
+                "thresholds": thr,
+                "rows_out": n_out,
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -408,6 +488,36 @@ def main(argv: list[str] | None = None) -> int:
     ts.add_argument("input")
     ts.add_argument("-o", "--output", required=True)
     ts.set_defaults(fn=cmd_text_stats)
+
+    dc = sub.add_parser(
+        "decontam", help="flag or drop docs sharing word n-grams with a benchmark set"
+    )
+    dc.add_argument("input", help="corpus parquet file/dir")
+    dc.add_argument("--benchmark", required=True, help="benchmark/eval parquet file/dir")
+    dc.add_argument("-o", "--output", required=True)
+    dc.add_argument("--ngram", type=int, default=8, help="word n-gram size (default 8)")
+    dc.add_argument("--min-overlap", type=int, default=1)
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument(
+        "--drop", action="store_true",
+        help="write the CLEANED corpus (default: write the flagged (id, n_overlap) report)",
+    )
+    dc.set_defaults(fn=cmd_decontam)
+
+    mx = sub.add_parser(
+        "mixture", help="deterministically rebalance to a target stratum mixture"
+    )
+    mx.add_argument("input")
+    mx.add_argument("-o", "--output", required=True)
+    mx.add_argument(
+        "--weights", required=True,
+        help="comma list of stratum=integer-weight, e.g. 'web=5,code=3,books=2'",
+    )
+    mx.add_argument("--key-col", default="doc_id")
+    mx.add_argument("--stratum-col", default="source")
+    mx.add_argument("--denom", type=int, default=1000)
+    mx.set_defaults(fn=cmd_mixture)
 
     b = sub.add_parser("bench", help="run the benchmark")
     b.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))

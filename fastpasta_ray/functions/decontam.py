@@ -76,6 +76,24 @@ def benchmark_ngram_set(
     return out
 
 
+def _overlap_counts(batch: pa.Table, bs: np.ndarray, text_col: str, ngram_n: int) -> np.ndarray:
+    """Per-row count of distinct word-n-grams also present in the sorted
+    benchmark hash set ``bs`` (vectorized searchsorted + reduceat)."""
+    flat, off = word_ngram_hashes_flat(batch[text_col], ngram_n)
+    if len(bs) and len(flat):
+        pos = np.clip(np.searchsorted(bs, flat), 0, len(bs) - 1)
+        hit = (bs[pos] == flat).astype(np.int64)
+    else:
+        hit = np.zeros(len(flat), dtype=np.int64)
+    starts = off[:-1]
+    counts = off[1:] - starts
+    n_overlap = np.zeros(batch.num_rows, dtype=np.int64)
+    nz = counts > 0
+    if nz.any() and len(hit):
+        n_overlap[nz] = np.add.reduceat(hit, starts[nz])
+    return n_overlap
+
+
 def contamination_check(
     docs: "ray.data.Dataset",
     bench: "ray.data.Dataset",
@@ -101,19 +119,7 @@ def contamination_check(
 
     def flag(batch: pa.Table) -> pa.Table:
         bs = ray.get(bref)  # zero-copy plasma read, once per task
-        flat, off = word_ngram_hashes_flat(batch[text_col], ngram_n)
-        if len(bs) and len(flat):
-            pos = np.clip(np.searchsorted(bs, flat), 0, len(bs) - 1)
-            hit = (bs[pos] == flat).astype(np.int64)
-        else:
-            hit = np.zeros(len(flat), dtype=np.int64)
-        n_docs = batch.num_rows
-        starts = off[:-1]
-        counts = off[1:] - starts
-        n_overlap = np.zeros(n_docs, dtype=np.int64)
-        nz = counts > 0
-        if nz.any() and len(hit):
-            n_overlap[nz] = np.add.reduceat(hit, starts[nz])
+        n_overlap = _overlap_counts(batch, bs, text_col, ngram_n)
         keep = n_overlap >= min_overlap
         kept = batch.filter(pa.array(keep))
         return pa.table(
@@ -124,3 +130,25 @@ def contamination_check(
         )
 
     return docs.map_batches(flag, batch_format="pyarrow")
+
+
+def decontaminate(
+    docs: "ray.data.Dataset",
+    bench: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    ngram_n: int = 3,
+    min_overlap: int = 1,
+) -> "ray.data.Dataset":
+    """The drop side of ``contamination_check``: return the corpus with
+    contaminated documents (overlap ≥ ``min_overlap``) removed, all
+    columns preserved. Same broadcast + zero-shuffle streaming shape."""
+    bset = benchmark_ngram_set(bench, text_col=text_col, ngram_n=ngram_n)
+    bref = ray.put(bset)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        bs = ray.get(bref)
+        n_overlap = _overlap_counts(batch, bs, text_col, ngram_n)
+        return batch.filter(pa.array(n_overlap < min_overlap))
+
+    return docs.map_batches(drop, batch_format="pyarrow")

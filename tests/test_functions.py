@@ -684,3 +684,65 @@ def test_kmeans_fit_recovers_blobs():
     # explicit init path
     cent3 = kmeans_fit(ds, k=3, n_iter=0, init=bases)
     assert np.allclose(cent3, bases / np.linalg.norm(bases, axis=1, keepdims=True))
+
+
+def test_cli_decontam_and_mixture(tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from fastpasta_ray.cli import main
+
+    corpus = str(tmp_path / "docs.parquet")
+    bench = str(tmp_path / "bench.parquet")
+    pq.write_table(
+        docs_table(
+            [
+                "the quick brown fox jumps over the lazy dog",
+                "completely unrelated text with no shared grams at all",
+                "pack my box with five dozen liquor jugs",
+            ]
+        ),
+        corpus,
+    )
+    pq.write_table(
+        docs_table(["the quick brown fox jumps high", "pack my box with five dozen"]),
+        bench,
+    )
+
+    flag_out = str(tmp_path / "flags")
+    assert main([
+        "decontam", corpus, "--benchmark", bench, "-o", flag_out, "--ngram", "3",
+    ]) == 0
+    fl = pa.concat_tables(
+        [t for t in (pq.read_table(f) for f in glob.glob(flag_out + "/*.parquet")) if t.num_rows]
+    )
+    assert sorted(fl["doc_id"].to_pylist()) == [0, 2]
+
+    drop_out = str(tmp_path / "clean")
+    assert main([
+        "decontam", corpus, "--benchmark", bench, "-o", drop_out, "--ngram", "3", "--drop",
+    ]) == 0
+    cl = pa.concat_tables(
+        [t for t in (pq.read_table(f) for f in glob.glob(drop_out + "/*.parquet")) if t.num_rows]
+    )
+    assert cl["doc_id"].to_pylist() == [1]  # only the uncontaminated doc survives
+    assert "text" in cl.column_names  # full rows preserved
+
+    # mixture: sources a,a,b → weights a=1,b=1 caps at b's count
+    src2 = str(tmp_path / "mix.parquet")
+    t = docs_table(["d1 x", "d2 y", "d3 z", "d4 w"]).append_column(
+        "source", pa.array(["a", "a", "a", "b"])
+    )
+    pq.write_table(t, src2)
+    mix_out = str(tmp_path / "mixed")
+    assert main([
+        "mixture", src2, "-o", mix_out, "--weights", "a=1,b=1",
+    ]) == 0
+    mixed = pa.concat_tables(
+        [t for t in (pq.read_table(f) for f in glob.glob(mix_out + "/*.parquet")) if t.num_rows]
+    )
+    srcs = mixed["source"].to_pylist()
+    assert srcs.count("b") == 1  # limiting stratum fully kept
+    # bad weights string errors cleanly
+    assert main(["mixture", src2, "-o", str(tmp_path / "x"), "--weights", "nope"]) == 2
