@@ -50,18 +50,21 @@ def wait_for_quiet(num_cpus: int, max_wait: float) -> float:
     are needed. We wait in 15 s slices up to ``max_wait`` (default 240 s,
     FP_BENCH_MAX_WAIT) and record how long we waited — the wait is
     telemetry, not concealment."""
-    waited = 0.0
     # threshold on the BOX's core count, not the run's Ray allocation: a
     # 1-cpu scaling level on a 32-core box is not "busy" at load 5
     # (code-review r3 — the old num_cpus/2 threshold made consecutive
     # scaling levels wait out each other's decaying load average)
     threshold = max(4.0, (os.cpu_count() or num_cpus) / 2)
-    while waited < max_wait:
+    start = time.monotonic()
+    while True:
+        waited = time.monotonic() - start  # includes canary probe time, so
+        # the max_wait bound and the recorded telemetry are true wall-clock
+        if waited >= max_wait:
+            break
         if os.getloadavg()[0] <= threshold and canary_sec() <= 0.6:
             break
         time.sleep(15)
-        waited += 15
-    return waited
+    return round(time.monotonic() - start, 1)
 
 
 def sf_of(sf_dir: str) -> float:

@@ -320,16 +320,20 @@ def cmd_decontam(args) -> int:
 
     docs = ray.data.read_parquet(args.input)
     bench = ray.data.read_parquet(args.benchmark)
-    if args.drop:
-        out = decontaminate(
-            docs, bench, text_col=args.text_col,
-            ngram_n=args.ngram, min_overlap=args.min_overlap,
-        )
-    else:
-        out = contamination_check(
-            docs, bench, id_col=args.id_col, text_col=args.text_col,
-            ngram_n=args.ngram, min_overlap=args.min_overlap,
-        )
+    try:
+        if args.drop:
+            out = decontaminate(
+                docs, bench, text_col=args.text_col,
+                ngram_n=args.ngram, min_overlap=args.min_overlap,
+            )
+        else:
+            out = contamination_check(
+                docs, bench, id_col=args.id_col, text_col=args.text_col,
+                ngram_n=args.ngram, min_overlap=args.min_overlap,
+            )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     out.write_parquet(args.output)
     n_in = docs.count()
     n_out = ray.data.read_parquet(args.output).count()

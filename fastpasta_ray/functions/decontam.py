@@ -66,14 +66,17 @@ def benchmark_ngram_set(
     ]
     if not parts:
         return np.zeros(0, dtype=np.uint64)
-    out = np.unique(np.concatenate(parts))
-    if len(out) > MAX_BENCH_NGRAMS:
+    # cap check BEFORE the concatenate: sum of per-block uniques bounds the
+    # global unique count, so a corpus-sized "benchmark" fails here instead
+    # of OOMing the driver on the multi-GB concat (code-review r3)
+    total = sum(len(p) for p in parts)
+    if total > MAX_BENCH_NGRAMS:
         raise ValueError(
-            f"benchmark n-gram set has {len(out)} unique n-grams "
+            f"benchmark n-gram partials total {total} hashes "
             f"(> {MAX_BENCH_NGRAMS}); this side is too large for a broadcast "
             "— decontaminate via a hash-partitioned n-gram join instead"
         )
-    return out
+    return np.unique(np.concatenate(parts))
 
 
 def _overlap_counts(batch: pa.Table, bs: np.ndarray, text_col: str, ngram_n: int) -> np.ndarray:
@@ -110,6 +113,8 @@ def contamination_check(
     One broadcast (sorted benchmark hash set), one streaming corpus pass;
     the membership test and per-doc counts are fully vectorized
     (searchsorted + reduceat)."""
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1 (got {min_overlap})")
     bset = benchmark_ngram_set(bench, text_col=text_col, ngram_n=ngram_n)
     logger.info(
         "contamination_check: benchmark set has %d unique %d-grams (%.1f MB broadcast)",
@@ -143,6 +148,8 @@ def decontaminate(
     """The drop side of ``contamination_check``: return the corpus with
     contaminated documents (overlap ≥ ``min_overlap``) removed, all
     columns preserved. Same broadcast + zero-shuffle streaming shape."""
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1 (got {min_overlap})")
     bset = benchmark_ngram_set(bench, text_col=text_col, ngram_n=ngram_n)
     bref = ray.put(bset)
 

@@ -303,7 +303,12 @@ def _list_parts(col) -> tuple[np.ndarray, np.ndarray]:
     return flat, off
 
 
-def _grouped(ds, key: str, fn, *, n_rows: int | None = None, small_rows: int = 500_000):
+# small-path threshold for _grouped; module-level so tests can force the
+# distributed groupby branch on tiny fixtures (set to 0)
+GROUPED_SMALL_ROWS = 500_000
+
+
+def _grouped(ds, key: str, fn, *, n_rows: int | None = None, small_rows: int | None = None):
     """``groupby(key).map_groups(fn)`` — or, below ``small_rows`` input
     rows, ONE coalesced task applying ``fn`` to the whole table at once.
 
@@ -326,6 +331,8 @@ def _grouped(ds, key: str, fn, *, n_rows: int | None = None, small_rows: int = 5
 
     ``n_rows``: pass the row count (or a safe upper bound) if already
     known; otherwise read from block metadata."""
+    if small_rows is None:
+        small_rows = GROUPED_SMALL_ROWS
     n = ds.count() if n_rows is None else n_rows
     if n <= small_rows:
         return ds.repartition(1).map_batches(fn, batch_format="pyarrow", batch_size=None)
@@ -607,7 +614,10 @@ def exact_jaccard_verify(
         "key",
         verify,
         n_rows=3 * len(ab),
-        small_rows=20_000,
+        # tighter than the generic threshold: set rows carry whole n-gram
+        # sets, not slim ints. min() keeps the test hook (GROUPED_SMALL_ROWS
+        # = 0 forces the distributed branch) effective here too
+        small_rows=min(20_000, GROUPED_SMALL_ROWS),
     )
 
 

@@ -100,17 +100,30 @@ def mixture_sample(
     splitmix64-hashed key passes the same test (``hash_keys=True`` — the
     production default for non-uniform keys).
 
-    The per-stratum counts come from one groupby of per-batch partial
-    counts (a tiny shuffle: one row per stratum per block); the filter
-    itself is a zero-shuffle streaming pass. Returns ``(sampled dataset,
-    thresholds)``. int64-safe up to count 10^12 x denom 10^3 x weight
-    10^2."""
+    The per-stratum counts come from a streaming pass of per-batch
+    partial counts merged on the driver (one tiny row per stratum per
+    block — no sort-groupby, so a lazy upstream is NOT re-executed by
+    shuffle sampling); the filter itself is a second zero-shuffle
+    streaming pass. Callers with an expensive lazy upstream should
+    materialize it first (it is consumed twice). Returns ``(sampled
+    dataset, thresholds)``. int64-safe up to count 10^12 x denom 10^3 x
+    weight 10^2."""
     W = sum(weights.values())
     if W <= 0:
         raise ValueError("mixture_sample: weights must sum to a positive value")
+    if denom <= 0:
+        raise ValueError(f"mixture_sample: denom must be positive (got {denom})")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("mixture_sample: weights must be non-negative")
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([stratum_col]).aggregate([([], "count_all")])
+        return g.rename_columns([stratum_col, "n"])
+
     counts: dict[str, int] = {}
-    for row in ds.groupby(stratum_col).count().take_all():
-        counts[row[stratum_col]] = int(row["count()"])
+    for row in ds.map_batches(partial_counts, batch_format="pyarrow").take_all():
+        s = row[stratum_col]
+        counts[s] = counts.get(s, 0) + int(row["n"])
     missing = [s for s, w in weights.items() if w > 0 and not counts.get(s)]
     if missing:
         raise ValueError(f"mixture_sample: no rows for weighted strata {missing}")

@@ -383,6 +383,10 @@ def kmeans_fit(
     hash-sampled mini-k-means (``build_ivf_centroids``) unless ``init``
     is given. Empty clusters keep their previous centroid (standard
     Lloyd's fallback)."""
+    # Lloyd's fundamentally consumes the input n_iter+1 times; materialize
+    # once so a lazy upstream (an embed stage, a filtered read) is not
+    # re-executed per iteration (code-review r3)
+    ds = ds.materialize()
     cent = (
         _normalize(np.asarray(init, dtype=np.float64))
         if init is not None

@@ -608,6 +608,10 @@ def test_contamination_check():
     empty = ray.data.from_arrow(bench_docs.slice(0, 0))
     assert contamination_check(cds, empty, ngram_n=3).take_all() == []
 
+    # min_overlap < 1 fails loudly (0 used to flag everything / drop all)
+    with pytest.raises(ValueError):
+        contamination_check(cds, bds, ngram_n=3, min_overlap=0)
+
 
 def test_mixture_sample_exact_mix_and_determinism():
     from fastpasta_ray.functions.sampling import mixture_sample
@@ -648,6 +652,16 @@ def test_mixture_sample_exact_mix_and_determinism():
     with pytest.raises(ValueError):
         mixture_sample(
             ds, key_col="doc_id", stratum_col="source", weights={"zz": 1}
+        )
+    # non-positive denom / negative weights fail loudly (code-review r3:
+    # denom=0 used to write an empty sample with exit 0)
+    with pytest.raises(ValueError):
+        mixture_sample(
+            ds, key_col="doc_id", stratum_col="source", weights={"a": 1}, denom=0
+        )
+    with pytest.raises(ValueError):
+        mixture_sample(
+            ds, key_col="doc_id", stratum_col="source", weights={"a": 1, "b": -1}
         )
 
 
@@ -746,3 +760,39 @@ def test_cli_decontam_and_mixture(tmp_path):
     assert srcs.count("b") == 1  # limiting stratum fully kept
     # bad weights string errors cleanly
     assert main(["mixture", src2, "-o", str(tmp_path / "x"), "--weights", "nope"]) == 2
+
+
+def test_grouped_distributed_branch_equivalence(monkeypatch):
+    """Force _grouped's sort-shuffle branch on the tiny fixture and assert
+    the minhash and simhash pipelines return the identical pairs as the
+    coalesced small path (the branch that runs at production scale must
+    not rot untested — code-review r3)."""
+    import fastpasta_ray.functions.dedup as dd
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda",
+        "one two three four five six seven eight nine ten eleven twelve",
+        "totally different content with unique words only here",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(list(range(4)), type=pa.int64()), "text": texts}
+    )
+
+    def run():
+        ds = ray.data.from_arrow(t)
+        mh = dd.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+        cand = dd.simhash_near_dups(ds, aggregate=False).select_columns(
+            ["doc_a", "doc_b"]
+        )
+        sh = dd.exact_jaccard_verify(
+            cand, ray.data.from_arrow(t), threshold=0.5
+        ).to_pandas()
+        key = lambda df: sorted(map(tuple, df.values.tolist()))
+        return key(mh), key(sh)
+
+    small = run()
+    monkeypatch.setattr(dd, "GROUPED_SMALL_ROWS", 0)
+    dist = run()
+    assert small == dist
+    assert len(small[0]) >= 1  # the near-dup pair 0-1 is found
