@@ -1853,3 +1853,55 @@ ORACLES["kmeans_assign"] = """
     FROM r WHERE rn = 1 GROUP BY cluster ORDER BY cluster
 """
 QUERIES["kmeans_assign"] = q_kmeans_assign
+
+
+def q_quantile_filter(sf_dir: str):
+    """Quantile-threshold selection (the 'keep the top decile' curation
+    step): exact global p90 of n_chars from merged per-batch IntHistogram
+    partials (no sort, no shuffle — the mergeable-sketch path), then one
+    streaming filter pass with the broadcast threshold, per-source kept
+    counts merged on the driver. IntHistogram.quantile uses the same
+    discrete (lower-interpolation) semantics as DuckDB quantile_disc, so
+    the oracle is value-exact."""
+    import json as _json
+
+    from fastpasta_ray.sketches import IntHistogram
+
+    ds = _rp(sf_dir, "documents", ["source", "n_chars"])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        h = IntHistogram()
+        h.add(b["n_chars"].to_numpy(zero_copy_only=False))
+        return pa.table({"hist": pa.array([_json.dumps(h.to_json())])})
+
+    merged = IntHistogram()
+    for r in ds.map_batches(hist_partial, batch_format="pyarrow").take_all():
+        merged = merged.merge(IntHistogram.from_json(_json.loads(r["hist"])))
+    thr = merged.quantile(0.9)
+
+    def kept_counts(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.greater_equal(b["n_chars"], thr))
+        g = f.group_by(["source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n"])
+
+    counts: dict[str, int] = {}
+    for r in ds.map_batches(kept_counts, batch_format="pyarrow").take_all():
+        counts[r["source"]] = counts.get(r["source"], 0) + int(r["n"])
+    srcs = sorted(counts)
+    return pa.table(
+        {
+            "source": pa.array(srcs),
+            "n_kept": pa.array([counts[s] for s in srcs], type=pa.int64()),
+            "threshold": pa.array([thr] * len(srcs), type=pa.int64()),
+        }
+    )
+
+
+ORACLES["quantile_filter"] = """
+    WITH thr AS (SELECT quantile_disc(n_chars, 0.9) AS t FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(thr.t AS BIGINT) AS threshold
+    FROM documents, thr WHERE n_chars >= thr.t
+    GROUP BY source, thr.t ORDER BY source
+"""
+QUERIES["quantile_filter"] = q_quantile_filter
