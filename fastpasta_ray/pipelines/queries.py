@@ -478,9 +478,12 @@ def q_minhash_pairs(sf_dir: str):
     so LSH recall at this threshold is total)."""
     from fastpasta_ray.functions.dedup import minhash_lsh_pairs
 
-    # blocks=8 measured fastest (16 pays groupby per-block overhead, 2
-    # serializes the signature hashing)
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+    # blocks=32: the r2 groupby per-block overhead that favored 8 is gone
+    # (the small-input path coalesces instead of grouping), and smaller
+    # signature tasks cap the damage of this box's per-core throttling
+    # (BASELINE.md: identical tasks measured 235 ms-3.07 s; a stage's wall
+    # is its unluckiest task, so less work per task = shorter tail)
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=32)
     t = _to_table(minhash_lsh_pairs(ds, threshold=0.5))
     return t if t is not None else _EMPTY_JACCARD
 
@@ -491,7 +494,8 @@ def q_simhash_pairs(sf_dir: str):
     minhash_pairs at a stricter threshold."""
     from fastpasta_ray.functions.dedup import exact_jaccard_verify, simhash_near_dups
 
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+    # blocks=32: straggler-tail cap, see q_minhash_pairs
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=32)
     cand = simhash_near_dups(ds, aggregate=False).select_columns(["doc_a", "doc_b"])
     t = _to_table(exact_jaccard_verify(cand, ds, threshold=0.8))
     return t if t is not None else _EMPTY_JACCARD
