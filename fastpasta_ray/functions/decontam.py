@@ -74,7 +74,8 @@ def benchmark_ngram_set(
         raise ValueError(
             f"benchmark n-gram partials total {total} hashes "
             f"(> {MAX_BENCH_NGRAMS}); this side is too large for a broadcast "
-            "— decontaminate via a hash-partitioned n-gram join instead"
+            "— use contamination_check_distributed (hash-partitioned "
+            "n-gram semi-join) instead"
         )
     return np.unique(np.concatenate(parts))
 
@@ -159,3 +160,106 @@ def decontaminate(
         return batch.filter(pa.array(n_overlap < min_overlap))
 
     return docs.map_batches(drop, batch_format="pyarrow")
+
+
+def contamination_check_distributed(
+    docs: "ray.data.Dataset",
+    bench: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 3,
+    min_overlap: int = 1,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """The shuffle path of ``contamination_check`` for when the benchmark
+    side is itself corpus-sized (beyond MAX_BENCH_NGRAMS, where the
+    broadcast would not fit): a hash-partitioned n-gram semi-join.
+
+    Both sides stream once, emitting slim (bucket, ngram_hash, doc_id)
+    rows — hash 8 B + id 8 B per DISTINCT (doc, n-gram); text never
+    shuffles. One groupby(bucket) counts, per corpus doc, its n-grams
+    that also occur anywhere in the benchmark side (sorted-merge
+    membership, no Python loops), and a final per-doc sum folds the
+    per-bucket partial counts. Results are identical to the broadcast
+    path (equivalence-tested); cost is one all-to-all of the slim rows
+    instead of a driver-held set — the standard broadcast-vs-shuffle
+    trade at 10^12 scale."""
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1 (got {min_overlap})")
+
+    def emit(side_is_bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            flat, off = word_ngram_hashes_flat(batch[text_col], ngram_n)
+            counts = np.diff(off)
+            if side_is_bench:
+                ids = np.full(len(flat), -1, dtype=np.int64)
+            else:
+                raw = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                ids = np.repeat(raw, counts)
+            return pa.table(
+                {
+                    "bucket": pa.array(
+                        (flat % np.uint64(num_buckets)).astype(np.int64)
+                    ),
+                    "sh": pa.array(flat, type=pa.uint64()),
+                    "doc": pa.array(ids),
+                }
+            )
+
+        return f
+
+    def bucket_overlap(g: pa.Table) -> pa.Table:
+        sh = g["sh"].to_numpy(zero_copy_only=False)
+        doc = g["doc"].to_numpy(zero_copy_only=False)
+        bench_sh = np.unique(sh[doc == -1])
+        corpus = doc != -1
+        csh, cdoc = sh[corpus], doc[corpus]
+        if not len(csh) or not len(bench_sh):
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "n_overlap": pa.array([], type=pa.int64()),
+                }
+            )
+        pos = np.clip(np.searchsorted(bench_sh, csh), 0, len(bench_sh) - 1)
+        hit = bench_sh[pos] == csh
+        if not hit.any():
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "n_overlap": pa.array([], type=pa.int64()),
+                }
+            )
+        hd = cdoc[hit]
+        udocs, ucounts = np.unique(hd, return_counts=True)
+        return pa.table(
+            {
+                id_col: pa.array(udocs, type=pa.int64()),
+                "n_overlap": pa.array(ucounts.astype(np.int64)),
+            }
+        )
+
+    rows = docs.map_batches(emit(False), batch_format="pyarrow").union(
+        bench.map_batches(emit(True), batch_format="pyarrow")
+    ).materialize()  # shield the two-side scan from groupby sampling
+    per_bucket = rows.groupby("bucket").map_groups(
+        bucket_overlap, batch_format="pyarrow"
+    )
+
+    # per-doc partial counts are one row per (doc, bucket-with-hits); the
+    # final fold is Ray's built-in sum aggregate (vectorized C path — NOT
+    # map_groups, which would cost one Python call per distinct doc) plus
+    # a streaming threshold filter
+    folded = per_bucket.groupby(id_col).sum("n_overlap")
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        t = batch.rename_columns([id_col, "n_overlap"])
+        t = t.set_column(
+            t.column_names.index("n_overlap"),
+            "n_overlap",
+            pa.compute.cast(t["n_overlap"], pa.int64()),
+        )
+        return t.filter(pa.compute.greater_equal(t["n_overlap"], min_overlap))
+
+    return folded.map_batches(threshold, batch_format="pyarrow")

@@ -796,3 +796,36 @@ def test_grouped_distributed_branch_equivalence(monkeypatch):
     dist = run()
     assert small == dist
     assert len(small[0]) >= 1  # the near-dup pair 0-1 is found
+
+
+def test_contamination_distributed_equals_broadcast():
+    from fastpasta_ray.functions.decontam import (
+        contamination_check,
+        contamination_check_distributed,
+    )
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(80)]
+    phrase = "alpha beta gamma delta epsilon"  # 3 shared 3-grams
+    texts = [
+        " ".join(rng.choice(vocab, size=30)) + (f" {phrase}" if i % 3 == 0 else "")
+        for i in range(120)
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(list(range(120)), type=pa.int64()), "text": texts}
+    )
+    docs = ray.data.from_arrow(t.slice(0, 100)).repartition(4)
+    bench = ray.data.from_arrow(t.slice(100, 20)).repartition(2)
+
+    def rows(ds):
+        return sorted((r["doc_id"], r["n_overlap"]) for r in ds.take_all())
+
+    for mo in (1, 3):
+        a = rows(contamination_check(docs, bench, ngram_n=3, min_overlap=mo))
+        b = rows(
+            contamination_check_distributed(docs, bench, ngram_n=3, min_overlap=mo)
+        )
+        assert a == b
+        assert len(a) > 0  # shared vocab guarantees some overlap
+    with pytest.raises(ValueError):
+        contamination_check_distributed(docs, bench, min_overlap=0)
