@@ -23,9 +23,18 @@ cdp_running.rs:342) mapped onto the doc-index stream:
   E444  the doc_id's embedded partition ordinal (the 4-digit middle group)
         changed mid-partition — the set-once orbit-vs-RDH analog; checked
         in BOTH modes (monotonic and exact-stride)
+  E445  cross-field desync: the doc-index advance disagrees with the
+        row_index advance × stride (analog of [E445] "TDH trigger_bc !=
+        RDH bc", tdh.rs:157, asserted cdp_running.rs:620 — two per-record
+        position encodings must agree). Only checkable in FILTERED
+        (stride_multiples) mode: unfiltered streams have row-gap 1, where
+        the condition is identical to E440 and adds no signal; a filtered
+        stream's interval check only proves "a multiple of stride", and
+        E445 catches the WRONG multiple (doc index vs reader position
+        desync). Per-interval, no anchor — a single glitch fires once.
 
 "E44" works as a family prefix with the error-code filter's prefix
-semantics (--codes E44 enables all of E440..E444). Rows whose doc_id is
+semantics (--codes E44 enables all of E440..E445). Rows whose doc_id is
 malformed are skipped (they already got E12/E13).
 """
 
@@ -50,7 +59,8 @@ class RunningState:
     `check all` distinction."""
 
     __slots__ = ("last_idx", "expected_stride", "index_wrap",
-                 "last_interval_bad", "first_ordinal", "stride_multiples")
+                 "last_interval_bad", "first_ordinal", "stride_multiples",
+                 "last_row_index")
 
     INDEX_WRAP = 100_000_000  # 8-digit doc index domain
 
@@ -74,6 +84,8 @@ class RunningState:
         # carried across batches: was the last checked interval a period
         # mismatch (E440/E441 fresh-vs-continuation classification)?
         self.last_interval_bad = False
+        # last valid row's file-global row_index (E445 cross-field carry)
+        self.last_row_index: int | None = None
         # set-once partition ordinal (E444): first valid row's value
         self.first_ordinal: int | None = None
 
@@ -128,7 +140,15 @@ class RunningState:
             stride = self.expected_stride
             delta = np.mod(seq - prev, self.index_wrap)
             if self.stride_multiples and stride > 0:
-                bad = (delta == 0) | (np.mod(delta, stride) != 0)
+                # a filtered gap of k skipped rows reads delta = k·stride,
+                # or k·stride − wrap when it crosses the index wrap — when
+                # stride ∤ wrap that residue is (−wrap) mod stride, not 0
+                # (ADVICE r3). Accept both; gaps spanning ≥2 full wraps
+                # (> 10^8 skipped rows) would still read as violations —
+                # documented limitation.
+                r = np.mod(delta, stride)
+                ok = (r == 0) | (r == (-self.index_wrap) % stride)
+                bad = (delta == 0) | ~ok
             else:
                 bad = delta != stride
             no_interval = np.zeros(len(seq), dtype=bool)
@@ -188,6 +208,41 @@ class RunningState:
                         for c, p, d in zip(seq[w], prev[w], delta[w])
                     ]
                 )
+            # --- E445: doc-index advance vs row_index advance (filtered
+            # mode only — see module docstring). Gated on intervals the
+            # E440-E443 lanes did NOT flag (no double-reporting).
+            if self.stride_multiples and stride > 0:
+                row_np = batch["row_index"].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)[vrows]
+                prev_row = np.empty_like(row_np)
+                prev_row[1:] = row_np[:-1]
+                prev_row[0] = (
+                    self.last_row_index
+                    if self.last_row_index is not None
+                    else row_np[0]
+                )
+                row_gap = row_np - prev_row
+                exp_delta = np.mod(row_gap * stride, self.index_wrap)
+                desync = ~bad & ~no_interval & (delta != exp_delta)
+                w = np.flatnonzero(desync)
+                if len(w):
+                    out_pos.append(vrows[w])
+                    out_codes.append([S.E_INDEX_ROW_DESYNC] * len(w))
+                    out_msgs.append(
+                        [
+                            S.format_message(
+                                S.E_INDEX_ROW_DESYNC,
+                                f"doc index {int(c)} after {int(p)}: stride "
+                                f"{int(d)} != row gap {int(g)} x expected "
+                                f"stride {stride}",
+                            )
+                            for c, p, d, g in zip(
+                                seq[w], prev[w], delta[w], row_gap[w]
+                            )
+                        ]
+                    )
+                self.last_row_index = int(row_np[-1])
         else:
             bad = seq <= prev
             w = np.flatnonzero(bad)

@@ -62,38 +62,50 @@ def cmd_check(args) -> int:
         from fastpasta_ray.pipelines.check import load_stats_profile
 
         profile = load_stats_profile(args.input_stats)
-    cli_fields = dict(
-        running_checks=not args.sanity_only,
-        enabled_codes=tuple(args.codes.split(",")) if args.codes else None,
-        max_errors_per_part=args.max_errors,
-        max_errors_global=args.max_errors_global,
-        expected_row_count=args.expect_rows,
-        expected_index_stride=args.expect_stride,
-        read_payload=not args.no_payload,
-        filter_sources=tuple(args.filter_sources.split(","))
-        if args.filter_sources
-        else None,
-        bos_id=args.bos_id,
-        eos_id=args.eos_id,
-        pad_id=args.pad_id,
-        segment_delim_id=args.segment_delim,
-        min_segments=args.min_segments,
-        max_segments=args.max_segments,
-    )
+    # Check flags use argparse.SUPPRESS defaults: the attribute exists on
+    # the namespace ONLY if the user typed the flag (ADVICE r3 — comparing
+    # values against CheckConfig defaults silently ignored an explicitly
+    # typed flag whose value equals a default, and broke whenever the
+    # argparse and dataclass defaults drifted apart). Typed flags override
+    # the config file; untyped ones defer to it.
+    _missing = object()
+    _split = lambda v: tuple(v.split(",")) if v else None  # noqa: E731
+    _ident = lambda v: v  # noqa: E731
+    _not = lambda v: not v  # noqa: E731
+    spec = {
+        # CheckConfig field: (arg attr, fallback when untyped, transform)
+        "running_checks": ("sanity_only", False, _not),
+        "enabled_codes": ("codes", None, _split),
+        "max_errors_per_part": ("max_errors", 10_000, _ident),
+        "max_errors_global": ("max_errors_global", None, _ident),
+        "expected_row_count": ("expect_rows", None, _ident),
+        "expected_index_stride": ("expect_stride", None, _ident),
+        "read_payload": ("no_payload", False, _not),
+        "filter_sources": ("filter_sources", None, _split),
+        "bos_id": ("bos_id", None, _ident),
+        "eos_id": ("eos_id", None, _ident),
+        "pad_id": ("pad_id", None, _ident),
+        "segment_delim_id": ("segment_delim", None, _ident),
+        "min_segments": ("min_segments", None, _ident),
+        "max_segments": ("max_segments", None, _ident),
+    }
+    cli_fields: dict = {}
+    typed: set[str] = set()
+    for field, (attr, fallback, tf) in spec.items():
+        raw = getattr(args, attr, _missing)
+        if raw is _missing:
+            cli_fields[field] = tf(fallback)
+        else:
+            cli_fields[field] = tf(raw)
+            typed.add(field)
     if args.checks_config:
-        # config file is the base; CLI flags that DIFFER from the
-        # CheckConfig default override it (a flag the user typed must
-        # never be silently ignored — code-review r3; a flag left at its
-        # default defers to the file)
         from dataclasses import replace
 
         from fastpasta_ray.checks.registry import load_config
 
-        defaults = CheckConfig()
-        overrides = {
-            k: v for k, v in cli_fields.items() if v != getattr(defaults, k)
-        }
-        cfg = replace(load_config(args.checks_config), **overrides)
+        cfg = replace(
+            load_config(args.checks_config), **{k: cli_fields[k] for k in typed}
+        )
     else:
         cfg = CheckConfig(**cli_fields)
     res = run_check(
@@ -101,7 +113,7 @@ def cmd_check(args) -> int:
         cfg=cfg,
         manifest_path=args.manifest,
         reference_profile=profile,
-        with_key_checks=not args.sanity_only,
+        with_key_checks=cfg.running_checks,
         out_dir=args.checkpoint_dir,
         resume=args.resume,
     )
@@ -408,27 +420,31 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("check", help="validate a sequences fixture dir")
     c.add_argument("input_dir")
     c.add_argument("--manifest", default=None)
-    c.add_argument("--sanity-only", action="store_true", help="stateless checks only (check sanity analog)")
-    c.add_argument("--codes", default=None, help="comma-separated error-code filter")
-    c.add_argument("--filter-sources", default=None, metavar="SRC[,SRC...]",
+    # check-semantics flags: default=SUPPRESS so cmd_check can tell a typed
+    # flag from an untyped one (config-file override rules; ADVICE r3)
+    SUP = argparse.SUPPRESS
+    c.add_argument("--sanity-only", action="store_true", default=SUP,
+                   help="stateless checks only (check sanity analog)")
+    c.add_argument("--codes", default=SUP, help="comma-separated error-code filter")
+    c.add_argument("--filter-sources", default=SUP, metavar="SRC[,SRC...]",
                    help="scope the whole analysis to these sources "
                         "(--filter-link/--filter-fee analog: checks, stats "
                         "and key checks all see only matching rows)")
-    c.add_argument("--max-errors", type=int, default=10_000, help="per-partition violation cap")
-    c.add_argument("--max-errors-global", type=int, default=None,
+    c.add_argument("--max-errors", type=int, default=SUP, help="per-partition violation cap (default 10000)")
+    c.add_argument("--max-errors-global", type=int, default=SUP,
                    help="global error budget: stop scheduling partitions once exceeded (max_tolerate_errors analog)")
-    c.add_argument("--expect-rows", type=int, default=None, help="expected row count (custom check E9001)")
-    c.add_argument("--expect-stride", type=int, default=None,
+    c.add_argument("--expect-rows", type=int, default=SUP, help="expected row count (custom check E9001)")
+    c.add_argument("--expect-stride", type=int, default=SUP,
                    help="exact doc-index stride per partition (E44, trigger-period analog)")
-    c.add_argument("--no-payload", action="store_true",
+    c.add_argument("--no-payload", action="store_true", default=SUP,
                    help="never read the tokens payload (RDH-only analog; token checks skipped)")
-    c.add_argument("--bos-id", type=int, default=None, help="grammar: required first token (E30)")
-    c.add_argument("--eos-id", type=int, default=None, help="grammar: required last token (E50)")
-    c.add_argument("--pad-id", type=int, default=None, help="grammar: pad token allowed only as tail (E60)")
-    c.add_argument("--segment-delim", type=int, default=None,
+    c.add_argument("--bos-id", type=int, default=SUP, help="grammar: required first token (E30)")
+    c.add_argument("--eos-id", type=int, default=SUP, help="grammar: required last token (E50)")
+    c.add_argument("--pad-id", type=int, default=SUP, help="grammar: pad token allowed only as tail (E60)")
+    c.add_argument("--segment-delim", type=int, default=SUP,
                    help="nested segment decode: delimiter token id (E73/E74/E75, ALPIDE analog)")
-    c.add_argument("--min-segments", type=int, default=None)
-    c.add_argument("--max-segments", type=int, default=None)
+    c.add_argument("--min-segments", type=int, default=SUP)
+    c.add_argument("--max-segments", type=int, default=SUP)
     c.add_argument("--input-stats", default=None, help="reference profile JSON to compare against")
     c.add_argument("--output-stats", default=None, help="write stats snapshot JSON here")
     c.add_argument("--output-violations", default=None, help="write violations parquet (one file per partition) here")

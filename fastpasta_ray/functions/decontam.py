@@ -189,12 +189,21 @@ def contamination_check_distributed(
         raise ValueError(f"min_overlap must be >= 1 (got {min_overlap})")
 
     def emit(side_is_bench: bool):
+        # explicit is_bench flag instead of a doc=-1 sentinel: a corpus
+        # doc_id of -1 must not silently become benchmark rows, and a
+        # non-integer id column should fail with a clean message up front
+        # rather than deep inside a Ray task (ADVICE r3)
         def f(batch: pa.Table) -> pa.Table:
             flat, off = word_ngram_hashes_flat(batch[text_col], ngram_n)
             counts = np.diff(off)
             if side_is_bench:
-                ids = np.full(len(flat), -1, dtype=np.int64)
+                ids = np.zeros(len(flat), dtype=np.int64)
             else:
+                from fastpasta_ray.functions.dedup import _require_int_ids
+
+                _require_int_ids(
+                    batch[id_col], id_col, "contamination_check_distributed"
+                )
                 raw = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
                 ids = np.repeat(raw, counts)
             return pa.table(
@@ -204,6 +213,9 @@ def contamination_check_distributed(
                     ),
                     "sh": pa.array(flat, type=pa.uint64()),
                     "doc": pa.array(ids),
+                    "is_bench": pa.array(
+                        np.full(len(flat), side_is_bench, dtype=bool)
+                    ),
                 }
             )
 
@@ -212,8 +224,9 @@ def contamination_check_distributed(
     def bucket_overlap(g: pa.Table) -> pa.Table:
         sh = g["sh"].to_numpy(zero_copy_only=False)
         doc = g["doc"].to_numpy(zero_copy_only=False)
-        bench_sh = np.unique(sh[doc == -1])
-        corpus = doc != -1
+        is_bench = g["is_bench"].to_numpy(zero_copy_only=False)
+        bench_sh = np.unique(sh[is_bench])
+        corpus = ~is_bench
         csh, cdoc = sh[corpus], doc[corpus]
         if not len(csh) or not len(bench_sh):
             return pa.table(

@@ -6,23 +6,19 @@ largest right timestamp ≤ the left timestamp, within the same key group —
 the standard event-attribution / market-data join.
 
 Implementation (per SURVEY.md custom-operator guidance): composition of
-map_batches + groupby(bucket) with vectorized ``pd.merge_asof`` inside
-each bucket. Both sides are bucketed by ``hash(by) % num_buckets`` so all
-rows of one key land in one group; within the bucket rows are sorted once
-and merged vectorized. Partitioning assumption documented: correctness
+map_batches + groupby(bucket), Arrow C-kernel sort + per-key-segment
+numpy searchsorted inside each bucket (the same kernel as the interval
+join below — VERDICT r3 item 5 removed the pd.merge_asof conversion).
+Both sides are bucketed by ``hash(by) % num_buckets`` so all rows of one
+key land in one group. Partitioning assumption documented: correctness
 requires only key-colocation, which hash bucketing provides regardless of
 key skew; bucket count bounds the per-task memory (right side of a bucket
 must fit in a task's heap — choose num_buckets so that holds).
-
-The pandas conversion inside ``merge_bucket`` is DELIBERATE: pd.merge_asof
-is the C kernel for grouped as-of matching ("use pandas when the kernel
-needs it"); the range-join count below is Arrow/numpy-native.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -86,25 +82,68 @@ def asof_join(
     lw = left.map_batches(widen_left, batch_format="pyarrow")
     rw = right.map_batches(widen_right, batch_format="pyarrow")
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unsupported direction {direction!r}")
+
+    def _sortable(col: pa.ChunkedArray) -> np.ndarray:
+        v = col.to_numpy(zero_copy_only=False)
+        if v.dtype.kind == "M":  # timestamps → int64 for searchsorted
+            return v.astype("datetime64[us]").astype(np.int64)
+        return v
+
     def merge_bucket(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        l = df[df["__side"] == "l"][lcols].sort_values(on, kind="mergesort")
-        r = df[df["__side"] == "r"][[by, on] + keep_r].sort_values(on, kind="mergesort")
-        r = r.rename(columns={on: f"{on}_right"})
-        if not len(l):
-            return pa.Table.from_pandas(
-                pd.DataFrame(columns=lcols + [f"{on}_right"] + keep_r),
-                preserve_index=False,
-            ).replace_schema_metadata(None)
-        out = pd.merge_asof(
-            l,
-            r,
-            left_on=on,
-            right_on=f"{on}_right",
-            by=by,
-            direction=direction,
+        # Arrow C-kernel filter/sort; per-key right segments + one
+        # vectorized searchsorted per distinct left key (no pandas)
+        l = g.filter(pc.equal(g["__side"], "l")).select(lcols)
+        r = (
+            g.filter(pc.equal(g["__side"], "r"))
+            .select([by, on] + keep_r)
+            .sort_by([(by, "ascending"), (on, "ascending")])
         )
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        out_names = lcols + [f"{on}_right"] + keep_r
+        if not l.num_rows:
+            return pa.table(
+                {
+                    c: pa.array([], type=(ltypes.get(c) or (rtypes[on] if c == f"{on}_right" else rtypes[c])))
+                    for c in out_names
+                }
+            )
+        l = l.sort_by([(on, "ascending")])
+        rts = _sortable(r[on])
+        rkeys = r[by].to_numpy(zero_copy_only=False)
+        seg_new = np.r_[True, rkeys[1:] != rkeys[:-1]] if len(rkeys) else np.zeros(0, bool)
+        seg_starts = np.flatnonzero(seg_new)
+        seg_ends = np.r_[seg_starts[1:], len(rkeys)]
+        seg_index = {
+            k: (int(s), int(e))
+            for k, s, e in zip(rkeys[seg_starts] if len(seg_starts) else rkeys[:0], seg_starts, seg_ends)
+        }
+        lts = _sortable(l[on])
+        lkeys = l[by].to_numpy(zero_copy_only=False)
+        match = np.full(l.num_rows, -1, dtype=np.int64)
+        order = np.argsort(lkeys, kind="stable")
+        lk_s = lkeys[order]
+        starts = np.flatnonzero(np.r_[True, lk_s[1:] != lk_s[:-1]]) if len(lk_s) else np.zeros(0, np.int64)
+        for si, s in enumerate(starts):
+            e = starts[si + 1] if si + 1 < len(starts) else len(lk_s)
+            seg = seg_index.get(lk_s[s])
+            if seg is None:
+                continue
+            rs, re = seg
+            sub = order[s:e]
+            t = lts[sub]
+            if direction == "backward":  # largest right ts <= left ts
+                idx = np.searchsorted(rts[rs:re], t, side="right") - 1
+            else:  # forward: smallest right ts >= left ts
+                idx = np.searchsorted(rts[rs:re], t, side="left")
+                idx[idx >= re - rs] = -1
+            match[sub] = np.where(idx >= 0, idx + rs, -1)
+        take = pa.array(match, mask=match < 0)  # null index → null output
+        cols = {c: l[c] for c in lcols}
+        cols[f"{on}_right"] = pc.take(r[on], take)
+        for c in keep_r:
+            cols[c] = pc.take(r[c], take)
+        return pa.table(cols)
 
     return (
         lw.union(rw)

@@ -402,10 +402,12 @@ def kmeans_fit(
             m = _normalize(_emb_matrix(batch, emb_col))
             a = (m @ c.T).argmax(axis=1)
             counts = np.bincount(a, minlength=len(c)).astype(np.int64)
-            # one-hot.T @ m gives per-cluster sums without a Python loop
-            oh = np.zeros((len(m), len(c)), dtype=np.float64)
-            oh[np.arange(len(m)), a] = 1.0
-            sums = oh.T @ m
+            # per-cluster sums via scatter-add: O(rows x dim) work and zero
+            # temporaries — the (rows x k) one-hot matmul this replaces was
+            # O(rows x k x dim) and a 100s-of-MB temporary at large k
+            # (VERDICT r3 item 7)
+            sums = np.zeros((len(c), m.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, m)
             return pa.table(
                 {
                     "cluster": pa.array(np.arange(len(c), dtype=np.int64)),

@@ -90,6 +90,7 @@ E_PERIOD_CONT = "E441"       # stride mismatch continuation   ~ [E441] continuat
 E_INDEX_REPEAT = "E442"      # doc index repeated (stride 0)  ~ [E442] continuation orbit differs
 E_INDEX_DECREASE = "E443"    # doc index went backwards       ~ [E443] continuation type differs
 E_PART_ORDINAL = "E444"      # doc_id partition ordinal changed mid-partition ~ [E444] TDH orbit != RDH orbit
+E_INDEX_ROW_DESYNC = "E445"  # doc-index advance != row_index advance x stride ~ [E445] TDH trigger_bc != RDH bc (tdh.rs:157)
 # shuffle checks
 E_DUP_DOCID = "E80"          # duplicate doc_id            ~ orbit-must-change (rdh_running.rs:125-133)
 E_ORPHAN = "E71"             # doc_id missing from manifest ~ lane-not-active [E71] (ib.rs:14-22)
@@ -110,7 +111,8 @@ ALL_CODES = (
     E_NTOK_MISMATCH, E_DOCID_FORMAT, E_DOCID_NULL, E_SCHEMA, E_SOURCE_NULL,
     E_SOURCE_DOMAIN, E_TOKEN_RANGE, E_TOKENS_NULL, E_GRAMMAR_BOS,
     E_GRAMMAR_EOS, E_GRAMMAR_PAD, E_ORDER, E_PERIOD, E_PERIOD_CONT,
-    E_INDEX_REPEAT, E_INDEX_DECREASE, E_PART_ORDINAL, E_DUP_DOCID,
+    E_INDEX_REPEAT, E_INDEX_DECREASE, E_PART_ORDINAL, E_INDEX_ROW_DESYNC,
+    E_DUP_DOCID,
     E_ORPHAN, E_MANIFEST_NTOK, E_SEG_COUNT, E_SEG_HEADER, E_SEG_EMPTY,
     E_SEG_ORDER,
     E_EMPTY_DOC, E_CUSTOM_COUNT, E_PROFILE_FIELD,

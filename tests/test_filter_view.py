@@ -332,6 +332,44 @@ def test_checks_config_cli_flag_override(tmp_path):
     assert snap["profile"]["source_histogram"].keys() <= {"books"}
 
 
+def test_checks_config_default_valued_flag_still_overrides(tmp_path):
+    """ADVICE r3: a flag EXPLICITLY typed with a value equal to the
+    CheckConfig default (--max-errors 10000 against a file setting 1) must
+    still override the file; an untyped flag must defer to the file."""
+    from dataclasses import replace
+
+    from fastpasta_ray import cli
+    from fastpasta_ray.checks.registry import save_config
+    from fastpasta_ray.stages.validate import CheckConfig
+
+    d = str(tmp_path / "fix")
+    write_fixture(d, SynthSpec(n_rows=200, n_parts=1), manifest=False,
+                  defect="bad_vocab", defect_k=5)
+    cfgp = str(tmp_path / "cfg.toml")
+    save_config(replace(CheckConfig(), max_errors_per_part=1), cfgp)
+    captured = {}
+    real_run_check = None
+
+    def spy(*a, **kw):
+        captured["cfg"] = kw.get("cfg")
+        return real_run_check(*a, **kw)
+
+    from fastpasta_ray.pipelines import check as check_mod
+
+    real_run_check = check_mod.run_check
+    check_mod.run_check = spy
+    try:
+        # typed flag equals the dataclass default → must override file's 1
+        cli.main(["check", d, "--checks-config", cfgp,
+                  "--max-errors", "10000", "--mute-errors"])
+        assert captured["cfg"].max_errors_per_part == 10_000
+        # untyped → defers to the file
+        cli.main(["check", d, "--checks-config", cfgp, "--mute-errors"])
+        assert captured["cfg"].max_errors_per_part == 1
+    finally:
+        check_mod.run_check = real_run_check
+
+
 def test_config_empty_tuple_roundtrip(tmp_path):
     from fastpasta_ray.checks.registry import load_config, save_config
     from fastpasta_ray.stages.validate import CheckConfig

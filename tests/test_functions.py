@@ -700,6 +700,33 @@ def test_kmeans_fit_recovers_blobs():
     assert np.allclose(cent3, bases / np.linalg.norm(bases, axis=1, keepdims=True))
 
 
+def test_kmeans_partial_large_k():
+    """The per-batch partial must not allocate O(rows x k) (VERDICT r3 #7):
+    one Lloyd's iteration at k=512 over a small batch stays exact — every
+    point is its own best centroid, so the update is a fixed point."""
+    from fastpasta_ray.functions.similarity import kmeans_fit
+
+    rng = np.random.default_rng(5)
+    k, dim = 512, 8
+    pts = rng.normal(size=(k, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(k), type=pa.int64()),
+            "embedding": pa.array(list(pts.astype(np.float32)), type=pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    cent = kmeans_fit(ds, k=k, n_iter=1, init=pts)
+    assert cent.shape == (k, dim)
+    # float32 storage round-trip: compare against the float32-cast points
+    assert np.allclose(
+        cent, pts.astype(np.float32).astype(np.float64)
+        / np.linalg.norm(pts.astype(np.float32).astype(np.float64), axis=1, keepdims=True),
+        atol=1e-6,
+    )
+
+
 def test_cli_decontam_and_mixture(tmp_path):
     import glob
 

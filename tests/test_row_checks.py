@@ -214,6 +214,65 @@ def test_stride_wrap_is_clean():
     assert v.num_rows == 0
 
 
+def mk_batch_at(rows, row_index):
+    """mk_batch with explicit file-global row_index values (simulates a
+    source-filtered view where surviving rows keep original positions)."""
+    t = mk_batch(rows)
+    return t.set_column(1, "row_index", pa.array(row_index, type=pa.int64()))
+
+
+def test_index_row_desync_e445_exact_strings():
+    """E445 (tdh.rs:157 / cdp_running.rs:620 analog): in filtered mode a
+    surviving interval that is a CORRECT multiple of the stride but the
+    WRONG multiple for the observed row gap is a cross-field desync."""
+    st = RunningState(expected_stride=2, stride_multiples=True)
+    # rows at original positions 0,3,5 with doc indexes 0,6,8:
+    # 0->6 over row gap 3 = 3x2 OK; 6->8 over row gap 2 should be 4, not 2.
+    v = st.check_batch(mk_batch_at(_ids(0, 6, 8), [0, 3, 5]))
+    assert [(r, c) for r, c in zip(v["row_index"].to_pylist(), v["code"].to_pylist())] == [
+        (5, "E445"),
+    ]
+    assert v["message"].to_pylist() == [
+        "[E445] doc index 8 after 6: stride 2 != row gap 2 x expected stride 2"
+    ]
+
+
+def test_index_row_desync_e445_carries_across_batches():
+    st = RunningState(expected_stride=1, stride_multiples=True)
+    assert st.check_batch(mk_batch_at(_ids(0, 4), [0, 4])).num_rows == 0
+    # next batch: doc index advanced 2 but row position advanced 3
+    v = st.check_batch(mk_batch_at(_ids(6), [7]))
+    assert v["code"].to_pylist() == ["E445"]
+
+
+def test_index_row_desync_not_doubled_with_e44x():
+    """Intervals already flagged by E440-E443 must not also emit E445."""
+    st = RunningState(expected_stride=2, stride_multiples=True)
+    # delta 3 is not a multiple of 2 -> E440 only, no E445
+    v = st.check_batch(mk_batch_at(_ids(0, 3), [0, 1]))
+    assert v["code"].to_pylist() == ["E440"]
+
+
+def test_stride_multiples_full_wrap_gap_accepted():
+    """ADVICE r3: a filtered gap spanning a full index wrap reads
+    delta = k*stride - wrap, whose residue mod stride is (-wrap) mod
+    stride when stride does not divide the wrap — accepted, not E440."""
+    st = RunningState(expected_stride=3, stride_multiples=True)
+    # k = 33,333,334 skipped rows: 1 + 3k = 100,000,003 -> wraps to 3
+    v = st.check_batch(mk_batch_at(_ids(1, 3), [0, 33_333_334]))
+    assert v.num_rows == 0, v.to_pydict()
+
+
+def test_e44_prefix_enables_e445():
+    from fastpasta_ray.stages.validate import _filter_codes
+
+    st = RunningState(expected_stride=2, stride_multiples=True)
+    v = st.check_batch(mk_batch_at(_ids(0, 6, 8), [0, 3, 5]))
+    kept = _filter_codes(v, ("E44",))
+    assert kept["code"].to_pylist() == ["E445"]
+    assert _filter_codes(v, ("E70",)).num_rows == 0
+
+
 def test_partition_ordinal_set_once_e444():
     """E444: the doc_id's 4-digit partition ordinal must not change
     mid-partition (set-once orbit analog) — both modes."""
