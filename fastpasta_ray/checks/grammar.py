@@ -66,6 +66,7 @@ def run_grammar_checks(batch: pa.Table, g: GrammarConfig) -> pa.Table:
             out, part, row_index, doc_id, bad, S.E_GRAMMAR_BOS, "tokens",
             [
                 f"first token {int(first[r])} != BOS {g.bos_id}"
+                f" ctx [{S.token_excerpt(flat, starts[r], starts[r] + lens[r], starts[r])}]"
                 for r in bad
             ],
         )
@@ -77,6 +78,7 @@ def run_grammar_checks(batch: pa.Table, g: GrammarConfig) -> pa.Table:
             out, part, row_index, doc_id, bad, S.E_GRAMMAR_EOS, "tokens",
             [
                 f"last token {int(last[r])} != EOS {g.eos_id}"
+                f" ctx [{S.token_excerpt(flat, starts[r], starts[r] + lens[r], starts[r] + lens[r] - 1)}]"
                 for r in bad
             ],
         )
@@ -99,7 +101,8 @@ def run_grammar_checks(batch: pa.Table, g: GrammarConfig) -> pa.Table:
                 out, part, row_index, doc_id, bad, S.E_GRAMMAR_PAD, "tokens",
                 [
                     f"pad token {g.pad_id} at interior index {int(i)}"
-                    for i in fp
+                    f" ctx [{S.token_excerpt(flat, starts[r], starts[r] + lens[r], starts[r] + i)}]"
+                    for r, i in zip(bad, fp)
                 ],
             )
     if not out:

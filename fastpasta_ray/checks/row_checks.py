@@ -140,11 +140,15 @@ def run_row_checks(
             rows_ = bad_rows_all[sel]
             tok_idx = bad_pos[sel] - starts[rows_]
             tok_val = vals[bad_pos[sel]]
+            row_ends = starts[rows_] + valid_lens[rows_]
             _emit(
                 out, part, row_index, doc_id, rows_, S.E_TOKEN_RANGE, "tokens",
                 [
                     f"token id {int(v)} out of range [0, {vocab}) at index {int(i)}"
-                    for v, i in zip(tok_val, tok_idx)
+                    f" ctx [{S.token_excerpt(vals, s, e, p)}]"
+                    for v, i, s, e, p in zip(
+                        tok_val, tok_idx, starts[rows_], row_ends, bad_pos[sel]
+                    )
                 ],
             )
 

@@ -152,3 +152,15 @@ def format_message(code: str, detail: str) -> str:
 
 def display_line(part: str, row_index: int, code: str, detail: str) -> str:
     return f"{part}:{row_index}: [{code}] {detail}"
+
+
+def token_excerpt(flat, row_start: int, row_end: int, center: int, radius: int = 3) -> str:
+    """Space-separated window of the offending row's tokens around the flat
+    position ``center``, clipped to the row's [row_start, row_end) span —
+    the analog of the reference ErrPrinter's raw-word hex dump in error
+    messages ("[E445] ... [03 3A 01 00 ...]", asserted cdp_running.rs:620-625;
+    a GBT-word byte excerpt becomes a token-window excerpt here). Appended
+    to payload-check messages as ``ctx [a b c ...]``."""
+    lo = max(int(row_start), int(center) - radius)
+    hi = min(int(row_end), int(center) + radius + 1)
+    return " ".join(str(int(x)) for x in flat[lo:hi])

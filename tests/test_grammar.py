@@ -39,9 +39,11 @@ def test_grammar_missing_bos_eos():
         G,
     )
     assert codes_of(v) == [(0, "E30"), (1, "E50")]
+    # messages carry a token-window excerpt of the offending row (the
+    # reference ErrPrinter's hex word dump analog, cdp_running.rs:620-625)
     assert v["message"].to_pylist() == [
-        "[E30] first token 9 != BOS 1",
-        "[E50] last token 9 != EOS 2",
+        "[E30] first token 9 != BOS 1 ctx [9 7 2]",
+        "[E50] last token 9 != EOS 2 ctx [1 7 9]",
     ]
 
 
@@ -59,7 +61,7 @@ def test_grammar_interior_pad():
     assert (0, "E60") in got
     assert (1, "E60") not in got
     pad_msgs = [m for m in v["message"].to_pylist() if "E60" in m]
-    assert pad_msgs == ["[E60] pad token 0 at interior index 1"]
+    assert pad_msgs == ["[E60] pad token 0 at interior index 1 ctx [1 0 7 2]"]
 
 
 def test_grammar_null_and_empty_rows_skipped():

@@ -49,8 +49,10 @@ def test_token_out_of_range_reports_first_offender():
         mk_batch([("web/0000/00000002", [1, 60000, 70000], 3, "web"), CLEAN])
     )
     assert codes_of(v) == [(0, "E70")]
+    # message carries a token-window excerpt of the offending row (the
+    # reference ErrPrinter's hex word dump analog, cdp_running.rs:620-625)
     assert v["message"].to_pylist() == [
-        "[E70] token id 60000 out of range [0, 50304) at index 1"
+        "[E70] token id 60000 out of range [0, 50304) at index 1 ctx [1 60000 70000]"
     ]
 
 
@@ -156,8 +158,8 @@ def test_mixed_null_and_out_of_range_rows():
     assert codes_of(v) == [(0, "E100"), (1, "E70"), (3, "E100"), (4, "E70")]
     msgs = [m for m in v["message"].to_pylist() if "E70" in m]
     assert msgs == [
-        "[E70] token id 99999 out of range [0, 50304) at index 1",
-        "[E70] token id 70000 out of range [0, 50304) at index 0",
+        "[E70] token id 99999 out of range [0, 50304) at index 1 ctx [1 99999]",
+        "[E70] token id 70000 out of range [0, 50304) at index 0 ctx [70000]",
     ]
 
 
