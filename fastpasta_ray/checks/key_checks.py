@@ -697,7 +697,16 @@ def key_checks(
         n_nodes = len([n for n in ray.nodes() if n.get("Alive", False)])
     except Exception:
         n_nodes = 1
-    packed = est_rows * 24 <= (1 << 30) and n_nodes == 1
+    import os as _os
+
+    # FP_FORCE_SLIM_EXCHANGE=1 forces the multi-node per-bucket exchange on
+    # a single node so the 100-TB path carries perf telemetry in the bench
+    # (VERDICT r3 item 9), not just correctness pins
+    packed = (
+        est_rows * 24 <= (1 << 30)
+        and n_nodes == 1
+        and not _os.environ.get("FP_FORCE_SLIM_EXCHANGE")
+    )
     returns = 1 if packed else num_buckets
     maps = [
         _map_seq_shard.options(num_returns=returns).remote(

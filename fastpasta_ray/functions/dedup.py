@@ -284,35 +284,122 @@ def _list_parts(col) -> tuple[np.ndarray, np.ndarray]:
 GROUPED_SMALL_ROWS = 500_000
 
 
-def _grouped(ds, key: str, fn, *, n_rows: int | None = None, small_rows: int | None = None):
+def _pair_intersection_counts(
+    pair_of: np.ndarray, vals: np.ndarray, n_pairs: int
+) -> np.ndarray:
+    """|A∩B| per pair from concatenated (pair, value) rows of both sides'
+    UNIQUE sets: a value under one pair index occurring twice is in both.
+
+    Primary path: polars hash-groupby (O(n), multithreaded — 18× the
+    numpy lexsort on the 5M-row bench shape, and the lexsort was the
+    pipeline's throttle-sensitive hot spot). Fallback: lexsort
+    adjacent-duplicate counting."""
+    try:
+        import polars as pl
+
+        g = (
+            pl.DataFrame({"p": pair_of, "v": vals})
+            .group_by(["p", "v"])
+            .len()
+            .filter(pl.col("len") >= 2)
+            .group_by("p")
+            .len()
+        )
+        out = np.zeros(n_pairs, dtype=np.int64)
+        out[g["p"].to_numpy()] = g["len"].to_numpy()
+        return out
+    except ImportError:  # pragma: no cover - polars is a baked-in dependency
+        order = np.lexsort((vals, pair_of))
+        vs, ps = vals[order], pair_of[order]
+        dup = np.zeros(len(vs), dtype=bool)
+        if len(vs) > 1:
+            dup[1:] = (vs[1:] == vs[:-1]) & (ps[1:] == ps[:-1])
+        return np.bincount(ps[dup], minlength=n_pairs)
+
+
+def _segment_pair_indices(ks: np.ndarray, cap: int):
+    """All within-segment index pairs (position a < b) of a SORTED segment
+    key array — the vectorized core of LSH candidate generation (replaces
+    per-segment Python loops over ~n_docs×bands distinct keys, VERDICT r3
+    item 2). For local rank r in a segment of size m, the element pairs as
+    'a' with the next m-1-r elements of the same segment. Segments larger
+    than ``cap`` are excluded; their sizes are returned for the caller to
+    log/emit (never silent)."""
+    if not len(ks):
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    seg_start = np.r_[True, ks[1:] != ks[:-1]]
+    starts = np.flatnonzero(seg_start)
+    sizes = np.diff(np.r_[starts, len(ks)])
+    seg_of = np.cumsum(seg_start) - 1
+    m = sizes[seg_of]
+    rank = np.arange(len(ks), dtype=np.int64) - starts[seg_of]
+    cnt = np.where((m >= 2) & (m <= cap), m - 1 - rank, 0)
+    a_idx = np.repeat(np.arange(len(ks), dtype=np.int64), cnt)
+    cnt_nz = cnt[cnt > 0]
+    b_idx = a_idx + 1 + (_ranges(cnt_nz) if len(cnt_nz) else np.zeros(0, np.int64))
+    return a_idx, b_idx, sizes[sizes > cap].astype(np.int64)
+
+
+def _grouped(
+    ds,
+    key: str,
+    fn,
+    *,
+    n_rows: int | None = None,
+    small_rows: int | None = None,
+    as_table: bool = False,
+):
     """``groupby(key).map_groups(fn)`` — or, below ``small_rows`` input
-    rows, ONE coalesced task applying ``fn`` to the whole table at once.
+    rows, ``fn`` applied to the whole (slim) table ON THE DRIVER.
 
     Every group fn in this module segments by its exact fine-grained key
     internally (``bucket_pairs`` by band_hash, the SimHash verify by qkey,
     the Jaccard verify by per-doc searchsorted), so the coarse groupby
     exists only to bound per-task memory. For small inputs the sort-based
     shuffle (sample + partition + reduce tasks, ~0.5-1 s fixed cost per
-    groupby on this box) is pure overhead: a narrow ``repartition(1)``
-    plus a single whole-block ``map_batches`` call computes the identical
-    result. Auto-selected like the packed/slim exchange modes in
+    groupby on this box) is pure overhead — and even the r3 small path
+    (repartition(1) + one map task) paid a whole streaming-executor
+    launch. The blocks are already in plasma (callers materialize first),
+    so the driver concatenates them zero-copy and runs the same fn once
+    (VERDICT r3 item 2: one fewer dataset execution per _grouped call).
+    Auto-selected like the packed/slim exchange modes in
     ``checks.key_checks`` — the distributed path is unchanged at scale.
 
     Callers materialize ``ds`` first in BOTH paths: the groupby samples
     its input (a lazy upstream would run the expensive signature stage
-    twice), and the small path's ``repartition(1)`` FUSES with a lazy
-    upstream map into one task (measured: the signature stage silently
-    dropped to single-core). A materialized input keeps the expensive
-    stage parallel and makes ``count()`` a free metadata read.
+    twice), and the small path's driver pull would likewise re-execute a
+    lazy chain. A materialized input keeps the expensive stage parallel,
+    makes ``count()`` a free metadata read, and makes ``to_arrow_refs()``
+    a plain ref listing.
 
     ``n_rows``: pass the row count (or a safe upper bound) if already
-    known; otherwise read from block metadata."""
+    known; otherwise read from block metadata.
+
+    ``as_table``: return the result as a pa.Table. Consuming even a
+    one-block from_arrow Dataset launches a full streaming executor
+    (~0.5 s measured on this box), so callers that immediately collect the
+    (small) result should take the table."""
     if small_rows is None:
         small_rows = GROUPED_SMALL_ROWS
     n = ds.count() if n_rows is None else n_rows
     if n <= small_rows:
-        return ds.repartition(1).map_batches(fn, batch_format="pyarrow", batch_size=None)
-    return ds.groupby(key).map_groups(fn, batch_format="pyarrow")
+        parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        tbl = (
+            pa.concat_tables(parts, promote_options="default")
+            if parts
+            else ds.schema().base_schema.empty_table()
+        )
+        res = fn(tbl)
+        return res if as_table else ray.data.from_arrow(res)
+    out = ds.groupby(key).map_groups(fn, batch_format="pyarrow")
+    if as_table:
+        parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+        if parts:
+            return pa.concat_tables(parts)
+        # fn on a typed empty input yields the correctly-typed empty output
+        return fn(ds.schema().base_schema.empty_table())
+    return out
 
 
 def exact_jaccard_verify(
@@ -326,12 +413,16 @@ def exact_jaccard_verify(
     num_buckets: int = 32,
     max_pairs: int = 5_000_000,
     min_copies: int = 1,
-) -> "ray.data.Dataset":
+    as_table: bool = False,
+):
     """Distributed exact word-n-gram Jaccard verification of candidate
     pairs in ONE bucketed exchange. ``min_copies``: drop pairs whose
     summed ``copies`` column (e.g. number of agreeing LSH bands) is below
     this — the cheap signature-space pre-filter that keeps weak
-    candidates out of the exact verify.
+    candidates out of the exact verify. ``as_table``: return a pa.Table
+    instead of a Dataset — the verified pairs are small by construction
+    (bounded by max_pairs), and consuming even a one-block Dataset costs a
+    full streaming-executor launch (~0.5 s measured on this box).
 
     Plan (r3 — replaces the r2 two-exchange design, which spent ~2.5 s of
     Ray-Data per-execution fixed cost across 5 dataset executions):
@@ -350,12 +441,17 @@ def exact_jaccard_verify(
        VERDICT r2 #5, no per-pair loop).
 
     Sets never materialize on the driver; the only driver-side object is
-    the capped pair list itself."""
-    pairs = pairs.materialize()
-    # pull the materialized blocks by ref (zero-copy plasma reads):
-    # iter_batches' streaming iterator costs ~2 s of per-block prefetch
-    # latency over the ~64 tiny groupby output blocks (measured)
-    parts = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+    the capped pair list itself. ``pairs`` may be a Dataset or a plain
+    pa.Table (callers that already extracted pairs driver-side skip a
+    whole dataset execution)."""
+    if isinstance(pairs, pa.Table):
+        parts = [pairs] if pairs.num_rows else []
+    else:
+        pairs = pairs.materialize()
+        # pull the materialized blocks by ref (zero-copy plasma reads):
+        # iter_batches' streaming iterator costs ~2 s of per-block prefetch
+        # latency over the ~64 tiny groupby output blocks (measured)
+        parts = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
     if parts:
         a = np.concatenate(
             [t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64) for t in parts]
@@ -412,14 +508,25 @@ def exact_jaccard_verify(
         # zero candidates: skip the corpus scan AND the exchange entirely
         # (review r3 — a clean corpus previously paid a full text pass +
         # union + sort-groupby to produce an empty table)
-        return ray.data.from_arrow(
-            pa.Table.from_arrays(
-                [pa.array([], type=f.type) for f in out_schema], schema=out_schema
-            )
+        empty = pa.Table.from_arrays(
+            [pa.array([], type=f.type) for f in out_schema], schema=out_schema
         )
+        return empty if as_table else ray.data.from_arrow(empty)
+    # driver-verify gate: the memory the driver must hold is one n-gram SET
+    # per DISTINCT candidate doc (pairs are 16 B each and share docs), so
+    # gate on distinct docs, not pair count (17k post-gate pairs over a few
+    # hundred near-dup docs previously fell through to the distributed
+    # exchange). min() keeps the test hook (GROUPED_SMALL_ROWS = 0 forces
+    # the distributed branch) effective.
+    driver_verify = len(np.unique(ab)) <= min(20_000, GROUPED_SMALL_ROWS)
     pbucket = (splitmix64(ab[:, 0].astype(np.uint64)) % np.uint64(num_buckets)).astype(
         np.int64
     )
+    if driver_verify:
+        # no exchange → bucket routing is irrelevant; collapsing every pair
+        # to bucket 0 makes the doc→bucket dedup emit each doc's set ONCE
+        # instead of once per referencing bucket
+        pbucket = np.zeros(len(ab), dtype=np.int64)
     # doc → sorted unique list of buckets that need its ngram set
     doc_ids = np.concatenate([ab[:, 0], ab[:, 1]])
     doc_bks = np.concatenate([pbucket, pbucket])
@@ -552,12 +659,7 @@ def exact_jaccard_verify(
                 np.repeat(np.arange(n_pairs, dtype=np.int64), len_b),
             ]
         )
-        order = np.lexsort((vals, pair_of))
-        vs, ps = vals[order], pair_of[order]
-        dup = np.zeros(len(vs), dtype=bool)
-        if len(vs) > 1:
-            dup[1:] = (vs[1:] == vs[:-1]) & (ps[1:] == ps[:-1])
-        inter = np.bincount(ps[dup], minlength=n_pairs)
+        inter = _pair_intersection_counts(pair_of, vals, n_pairs)
         union = len_a + len_b - inter
         # NOT rounded: int/int division is bit-identical to the SQL
         # oracle's i*1.0/union; rounding would INTRODUCE mismatches on
@@ -577,24 +679,29 @@ def exact_jaccard_verify(
 
     # materialized: the groupby's sort samples its input, which would
     # RE-EXECUTE a lazy read+filter chain (measured 1.5-4.7 s vs 0.1 s on
-    # materialized inputs); after the candidate-id pushdown the set rows
-    # are O(candidate docs) — tiny
-    # materialized: keeps the corpus scan parallel (repartition would fuse
-    # a lazy map into one task) and shields it from groupby sampling.
-    # Small candidate sets then skip the sort-shuffle: one task verifies
-    # all buckets at once (verify keys sets by doc id, not by bucket —
-    # identical result); union rows ≤ pairs + 2 set rows per pair.
+    # materialized inputs), and materializing keeps the corpus scan
+    # parallel; after the candidate-id pushdown the set rows are
+    # O(candidate docs) — tiny.
     sets_ds = docs.map_batches(set_rows, batch_format="pyarrow").materialize()
-    return _grouped(
+    # small candidate-doc sets: verify ON THE DRIVER over the materialized
+    # set blocks (verify keys sets by doc id, not by bucket — identical
+    # result); driver memory = one set per distinct candidate doc (gated
+    # above).
+    if driver_verify:
+        sparts = [t for t in ray.get(sets_ds.to_arrow_refs()) if t.num_rows]
+        res = verify(pa.concat_tables([pair_tbl] + sparts))
+        return res if as_table else ray.data.from_arrow(res)
+    out = _grouped(
         p_ds.union(sets_ds),
         "key",
         verify,
         n_rows=3 * len(ab),
-        # tighter than the generic threshold: set rows carry whole n-gram
-        # sets, not slim ints. min() keeps the test hook (GROUPED_SMALL_ROWS
-        # = 0 forces the distributed branch) effective here too
         small_rows=min(20_000, GROUPED_SMALL_ROWS),
     )
+    if as_table:
+        vparts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+        return pa.concat_tables(vparts) if vparts else out_schema.empty_table()
+    return out
 
 
 class MinHasher:
@@ -666,7 +773,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     ngram_n: int = 3,
     min_band_matches: int = 2,
-) -> "ray.data.Dataset":
+    as_table: bool = False,
+):
     """Near-duplicate pairs via banded MinHash LSH candidates, verified by
     EXACT word-``ngram_n``-gram Jaccard ≥ threshold (DuckDB-checkable: a
     SQL DISTINCT-shingle self-join computes the identical value).
@@ -709,42 +817,29 @@ def minhash_lsh_pairs(
     def bucket_pairs(g: pa.Table) -> pa.Table:
         ids_all = g[id_col].to_numpy(zero_copy_only=False)
         bh = g["band_hash"].to_numpy(zero_copy_only=False)
-        order = np.argsort(bh, kind="stable")
-        bh_s = bh[order]
-        starts = np.flatnonzero(np.r_[True, bh_s[1:] != bh_s[:-1]])
-        ends = np.r_[starts[1:], len(bh_s)]
-        out_a, out_b, out_drop = [], [], []
-        for s, e in zip(starts, ends):
-            # cap degenerate buckets: a bucket of B docs implies B²/2 pairs;
-            # on near-dup-heavy corpora that explodes — standard LSH practice
-            # is to skip such buckets; the drop is emitted as an OBSERVABLE
-            # sentinel row (doc_a=-1, dropped=bucket size), never silent
-            if e - s < 2:
-                continue
-            if e - s > 100:
-                out_a.append(np.array([-1], dtype=np.int64))
-                out_b.append(np.array([-1], dtype=np.int64))
-                out_drop.append(np.array([e - s], dtype=np.int64))
-                continue
-            ids = np.unique(ids_all[order[s:e]])
-            if len(ids) < 2:
-                continue
-            iu = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[iu[0]])
-            out_b.append(ids[iu[1]])
-            out_drop.append(np.zeros(len(iu[0]), dtype=np.int64))
-        if not out_a:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], type=pa.int64()),
-                    "doc_b": pa.array([], type=pa.int64()),
-                    "copies": pa.array([], type=pa.int64()),
-                    "dropped": pa.array([], type=pa.int64()),
-                }
-            )
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
-        drop = np.concatenate(out_drop)
+        # cap degenerate buckets: a bucket of B docs implies B²/2 pairs; on
+        # near-dup-heavy corpora that explodes — standard LSH practice is to
+        # skip such buckets; the drop is emitted as an OBSERVABLE sentinel
+        # row (doc_a=-1, dropped=bucket size), never silent.
+        # Fully vectorized within-group pair generation (was a Python loop
+        # over ~n_docs×bands distinct band hashes — the dominant cost of the
+        # whole stage at bench scale): sort by (band_hash, id), dedup
+        # (key, id) rows, then _segment_pair_indices emits every in-segment
+        # combination. Sorted ids within a segment ⇒ doc_a < doc_b, same as
+        # the old triu-over-unique construction.
+        order = np.lexsort((ids_all, bh))
+        ks, vs = bh[order], ids_all[order]
+        if len(ks):
+            uniq = np.r_[True, (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])]
+            ks, vs = ks[uniq], vs[uniq]
+        ai, bi, dropped_sizes = _segment_pair_indices(ks, 100)
+        a = vs[ai].astype(np.int64, copy=False)
+        b = vs[bi].astype(np.int64, copy=False)
+        drop = np.zeros(len(a), dtype=np.int64)
+        if len(dropped_sizes):
+            a = np.concatenate([a, np.full(len(dropped_sizes), -1, dtype=np.int64)])
+            b = np.concatenate([b, np.full(len(dropped_sizes), -1, dtype=np.int64)])
+            drop = np.concatenate([drop, dropped_sizes])
         # map-side pair dedup WITH COUNTS: exact-dup clusters collide in
         # EVERY band, inflating candidates ~bands× — dedup keeps the
         # exchange slim while the summed `copies` preserve how many bands
@@ -790,18 +885,29 @@ def minhash_lsh_pairs(
         return b.filter(pc.equal(b["dropped"], 0)).select(["doc_a", "doc_b", "copies"])
 
     # band keys are materialized before the groupby (the sort samples its
-    # input and would re-run the signature stage); the groupby output flows
-    # LAZILY into the verify, whose pairs.materialize() is its only
-    # execution — 4 dataset executions total for the whole pipeline
-    # materialized: keeps the signature stage parallel (see _grouped) and
-    # shields it from groupby sampling; band keys are slim ints
+    # input and would re-run the signature stage; materializing also keeps
+    # the signature stage parallel — see _grouped); band keys are slim ints.
+    # Below the small-path threshold the pair extraction + audit run ON THE
+    # DRIVER over the materialized key blocks (~30 ms at bench scale) and
+    # the whole pipeline is TWO dataset executions: band keys + the verify's
+    # corpus scan (VERDICT r3 item 2; was 4 in r3).
     keys_ds = ds.map_batches(band_keys, batch_format="pyarrow", batch_size=2048).materialize()
-    pairs = _grouped(keys_ds, "bucket", bucket_pairs).map_batches(
-        audit_and_filter, batch_format="pyarrow"
-    )
+    n_keys = keys_ds.count()
+    if n_keys <= GROUPED_SMALL_ROWS:
+        parts = [t for t in ray.get(keys_ds.to_arrow_refs()) if t.num_rows]
+        keys_tbl = (
+            pa.concat_tables(parts)
+            if parts
+            else keys_ds.schema().base_schema.empty_table()
+        )
+        pairs = audit_and_filter(bucket_pairs(keys_tbl))
+    else:
+        pairs = _grouped(keys_ds, "bucket", bucket_pairs, n_rows=n_keys).map_batches(
+            audit_and_filter, batch_format="pyarrow"
+        )
     return exact_jaccard_verify(
         pairs, ds, threshold=threshold, id_col=id_col, text_col=text_col,
-        ngram_n=ngram_n, min_copies=min_band_matches,
+        ngram_n=ngram_n, min_copies=min_band_matches, as_table=as_table,
     )
 
 
@@ -868,7 +974,8 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 7,
     aggregate: bool = True,
-) -> "ray.data.Dataset":
+    as_table: bool = False,
+):
     """Near-dups by SimHash: bucket by every pair of the 9 bit-blocks (36
     combos of ≤15 bits). Pigeonhole: ≤7 differing bits dirty at most 7 of
     9 blocks, so some TWO blocks are clean and the pair shares that combo
@@ -904,50 +1011,34 @@ def simhash_near_dups(
         )
 
     def verify(g: pa.Table) -> pa.Table:
+        # vectorized candidate pairing + Hamming popcount (was a Python
+        # loop over distinct qkeys — VERDICT r3 item 2): sort by
+        # (qkey, id), dedup (qkey, id) rows, pair within qkey segments.
         ids = g[id_col].to_numpy(zero_copy_only=False)
         h = g["simhash"].to_numpy(zero_copy_only=False)
         qk = g["qkey"].to_numpy(zero_copy_only=False)
-        order = np.argsort(qk, kind="stable")
-        out_a, out_b, out_d = [], [], []
-        qs = qk[order]
-        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
-        ends = np.r_[starts[1:], len(qs)]
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            if e - s > 500:
-                logger.warning(
-                    "simhash_near_dups: dropping bucket qkey=%d with %d docs "
-                    "(>500 cap, %d implied pairs)",
-                    int(qs[s]), e - s, (e - s) * (e - s - 1) // 2,
-                )
-                continue
-            idx = order[s:e]
-            iid, ih = ids[idx], h[idx]
-            uniq = np.unique(iid, return_index=True)[1]
-            iid, ih = iid[uniq], ih[uniq]
-            m = len(iid)
-            iu, ju = np.triu_indices(m, k=1)
-            hd = popcount64(ih[iu] ^ ih[ju])
-            hit = hd <= max_hamming
-            if hit.any():
-                a, b = iid[iu[hit]], iid[ju[hit]]
-                out_a.append(np.minimum(a, b))
-                out_b.append(np.maximum(a, b))
-                out_d.append(hd[hit])
-        if not out_a:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], type=pa.int64()),
-                    "doc_b": pa.array([], type=pa.int64()),
-                    "hamming": pa.array([], type=pa.int64()),
-                }
+        order = np.lexsort((ids, qk))
+        qs, iid, ih = qk[order], ids[order], h[order]
+        if len(qs):
+            uniq = np.r_[True, (qs[1:] != qs[:-1]) | (iid[1:] != iid[:-1])]
+            qs, iid, ih = qs[uniq], iid[uniq], ih[uniq]
+        ai, bi, dropped_sizes = _segment_pair_indices(qs, 500)
+        if len(dropped_sizes):
+            logger.warning(
+                "simhash_near_dups: dropped %d oversized combo buckets "
+                "covering %d doc slots (>500 cap, %d implied pairs); "
+                "near-dups inside them are not reported",
+                len(dropped_sizes), int(dropped_sizes.sum()),
+                int((dropped_sizes * (dropped_sizes - 1) // 2).sum()),
             )
+        hd = popcount64(ih[ai] ^ ih[bi]) if len(ai) else np.zeros(0, np.int64)
+        hit = hd <= max_hamming
+        a, b = iid[ai[hit]], iid[bi[hit]]
         return pa.table(
             {
-                "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
-                "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
-                "hamming": pa.array(np.concatenate(out_d), type=pa.int64()),
+                "doc_a": pa.array(np.minimum(a, b), type=pa.int64()),
+                "doc_b": pa.array(np.maximum(a, b), type=pa.int64()),
+                "hamming": pa.array(hd[hit], type=pa.int64()),
             }
         )
 
@@ -958,11 +1049,13 @@ def simhash_near_dups(
         .map_batches(combo_keys, batch_format="pyarrow")
         .materialize()
     )
-    pairs = _grouped(keys_ds, "bucket", verify)
+    # raw candidates (a pair may appear once per shared combo key) —
+    # callers that feed exact_jaccard_verify skip the aggregate groupby
+    # since the verify exchange dedups pairs anyway. as_table returns the
+    # driver-held table directly (consuming even a one-block Dataset costs
+    # a ~0.5 s executor launch).
+    pairs = _grouped(keys_ds, "bucket", verify, as_table=(not aggregate and as_table))
     if not aggregate:
-        # raw candidates (a pair may appear once per shared combo key) —
-        # callers that feed exact_jaccard_verify skip this groupby since
-        # the verify exchange dedups pairs anyway
         return pairs
     return pairs.groupby(["doc_a", "doc_b"]).min("hamming")
 

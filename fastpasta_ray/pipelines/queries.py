@@ -484,8 +484,10 @@ def q_minhash_pairs(sf_dir: str):
     # (BASELINE.md: identical tasks measured 235 ms-3.07 s; a stage's wall
     # is its unluckiest task, so less work per task = shorter tail)
     ds = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=32)
-    t = _to_table(minhash_lsh_pairs(ds, threshold=0.5))
-    return t if t is not None else _EMPTY_JACCARD
+    # as_table: the verified pairs are already driver-held; wrapping them in
+    # a Dataset would cost one more streaming-executor launch to consume
+    t = minhash_lsh_pairs(ds, threshold=0.5, as_table=True)
+    return t if t.num_rows else _EMPTY_JACCARD
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -496,9 +498,11 @@ def q_simhash_pairs(sf_dir: str):
 
     # blocks=32: straggler-tail cap, see q_minhash_pairs
     ds = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=32)
-    cand = simhash_near_dups(ds, aggregate=False).select_columns(["doc_a", "doc_b"])
-    t = _to_table(exact_jaccard_verify(cand, ds, threshold=0.8))
-    return t if t is not None else _EMPTY_JACCARD
+    cand = simhash_near_dups(ds, aggregate=False, as_table=True).select(
+        ["doc_a", "doc_b"]
+    )
+    t = exact_jaccard_verify(cand, ds, threshold=0.8, as_table=True)
+    return t if t.num_rows else _EMPTY_JACCARD
 
 
 def q_lang_id(sf_dir: str):
@@ -1383,7 +1387,7 @@ def q_neardup_clusters(sf_dir: str):
     from fastpasta_ray.functions.dedup import minhash_lsh_pairs, near_dup_clusters
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=8)
-    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    pairs = minhash_lsh_pairs(ds, threshold=0.5, as_table=True)
     return near_dup_clusters(pairs).sort_by([("doc_id", "ascending")])
 
 
