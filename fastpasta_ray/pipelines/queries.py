@@ -1784,6 +1784,42 @@ ORACLES["contamination_check"] = """
 QUERIES["contamination_check"] = q_contamination_check
 
 
+def q_contamination_check_dist(sf_dir: str):
+    """The SHUFFLE path of benchmark decontamination
+    (contamination_check_distributed: hash-partitioned n-gram semi-join for
+    corpus-sized benchmark sides) on the same inputs and with the same SQL
+    oracle as the broadcast path — the 100-TB regime carries a correctness
+    pin AND bench telemetry of its own (VERDICT r3 item 9)."""
+    from fastpasta_ray.functions.decontam import contamination_check_distributed
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+
+    def _mod_filter(keep_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            did = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = did % 101 == 0
+            return b.filter(pa.array(m if keep_bench else ~m))
+
+        return f
+
+    bench = ds.map_batches(_mod_filter(True), batch_format="pyarrow")
+    corpus = ds.map_batches(_mod_filter(False), batch_format="pyarrow")
+    out = contamination_check_distributed(corpus, bench, ngram_n=3)
+    t = _to_table(out)
+    if t is None or t.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_overlap": pa.array([], type=pa.int64()),
+            }
+        )
+    return t.sort_by([("doc_id", "ascending")])
+
+
+ORACLES["contamination_check_dist"] = ORACLES["contamination_check"]
+QUERIES["contamination_check_dist"] = q_contamination_check_dist
+
+
 def q_mixture_sample(sf_dir: str):
     """Data-mixing: rebalance three sources to an exact 5:3:2 target mix
     with deterministic integer-math thresholds (functions/sampling.py

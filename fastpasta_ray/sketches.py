@@ -555,6 +555,41 @@ class VocabBitmap:
         return cls(d["vocab"], bits)
 
 
+def scan_token_values(
+    vals: np.ndarray, mm: "MinMax", bitmap: "VocabBitmap"
+) -> tuple[int, int] | None:
+    """Fused, cache-blocked single pass over a flat token array: batch
+    min/max AND the vocab-bitmap scatter per ~1 MiB chunk while the chunk
+    is cache-resident. The separate np.min + np.max + scatter calls each
+    re-streamed the whole (GB-sized) array from DRAM; on this
+    bandwidth-bound stage the fusion cuts token-value DRAM traffic 3×
+    (the bitmap itself is vocab/8 bytes — L2-resident). Returns the
+    batch's (min, max) for the E70 gate, like MinMax.add did."""
+    n = len(vals)
+    if n == 0:
+        return None
+    vocab = bitmap.vocab
+    seen = bitmap.seen
+    chunk = 1 << 18  # 1 MiB of int32 — L2-sized
+    gmin = None
+    gmax = None
+    for s in range(0, n, chunk):
+        c = vals[s : s + chunk]
+        lo = int(c.min())
+        hi = int(c.max())
+        if gmin is None or lo < gmin:
+            gmin = lo
+        if gmax is None or hi > gmax:
+            gmax = hi
+        if lo >= 0 and hi < vocab:
+            seen[c] = True
+        else:
+            seen[c[(c >= 0) & (c < vocab)]] = True
+    mm.lo = gmin if mm.lo is None else min(mm.lo, gmin)
+    mm.hi = gmax if mm.hi is None else max(mm.hi, gmax)
+    return gmin, gmax
+
+
 class PartStats:
     """Per-partition mergeable stats bundle — the unit that flows from the
     validate stage to the final merge (analog of the reference's per-link

@@ -258,8 +258,13 @@ class ValidateFiles:
                 stats.token_count += len(flat)
                 if len(flat):
                     vals = flat.to_numpy(zero_copy_only=False)
-                    minmax = stats.token_mm.add(vals)
-                    stats.vocab_bitmap.add(vals, minmax)
+                    # fused cache-blocked min/max + bitmap scatter: one DRAM
+                    # pass over the token values instead of three
+                    from fastpasta_ray.sketches import scan_token_values
+
+                    minmax = scan_token_values(
+                        vals, stats.token_mm, stats.vocab_bitmap
+                    )
             ntok = batch["n_tok"].combine_chunks().to_numpy(zero_copy_only=False)
             stats.n_tok_hist.add(ntok)
             stats.source_hist.add_arrow(batch["source"].combine_chunks())
