@@ -26,6 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from fastpasta_ray import schema as S
+from fastpasta_ray.sketches import one_chunk
 
 
 @dataclass(frozen=True)
@@ -39,7 +40,7 @@ def run_grammar_checks(batch: pa.Table, g: GrammarConfig) -> pa.Table:
     """Vectorized grammar pass; returns VIOLATIONS_SCHEMA rows."""
     if g.bos_id is None and g.eos_id is None and g.pad_id is None:
         return S.VIOLATIONS_SCHEMA.empty_table()
-    tokens = batch["tokens"].combine_chunks()
+    tokens = one_chunk(batch["tokens"])
     n = len(tokens)
     valid = pc.is_valid(tokens).to_numpy(zero_copy_only=False)
     lens = pc.fill_null(pc.list_value_length(tokens), 0).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -51,9 +52,9 @@ def run_grammar_checks(batch: pa.Table, g: GrammarConfig) -> pa.Table:
     out: list[pa.Table] = []
     from fastpasta_ray.checks.row_checks import _emit
 
-    part = batch["part"].combine_chunks()
-    row_index = batch["row_index"].combine_chunks()
-    doc_id = batch["doc_id"].combine_chunks()
+    part = one_chunk(batch["part"])
+    row_index = one_chunk(batch["row_index"])
+    doc_id = one_chunk(batch["doc_id"])
 
     # clipped gather indices: rows masked out by `nonempty` (null/empty,
     # possibly trailing) may have start == len(flat); the clip keeps the

@@ -45,7 +45,7 @@ import pyarrow.parquet as pq
 import ray
 
 from fastpasta_ray import schema as S
-from fastpasta_ray.sketches import hash_strings
+from fastpasta_ray.sketches import hash_strings, one_chunk
 from fastpasta_ray.sources.parquet import part_of
 
 MANIFEST_PART = "__manifest__"
@@ -74,7 +74,7 @@ CANDIDATE_SCHEMA = pa.schema(
 
 def _tag_seq_factory(part_index: dict[str, int], num_buckets: int):
     def tag(batch: pa.Table) -> pa.Table:
-        did = batch["doc_id"].combine_chunks()
+        did = one_chunk(batch["doc_id"])
         valid = pc.fill_null(
             pc.and_(pc.is_valid(did), pc.not_equal(did, pa.scalar(""))), False
         )
@@ -88,7 +88,7 @@ def _tag_seq_factory(part_index: dict[str, int], num_buckets: int):
                     "n_tok": pa.array([], type=pa.int64()),
                 }
             )
-        h = hash_strings(batch["doc_id"].combine_chunks())
+        h = hash_strings(one_chunk(batch["doc_id"]))
         pidx = np.fromiter(
             (part_index[p] for p in batch["part"].to_pylist()),
             dtype=np.int64,
@@ -118,7 +118,7 @@ def _tag_manifest_factory(num_buckets: int):
     in-memory manifest dict)."""
 
     def tag(batch: pa.Table) -> pa.Table:
-        h = hash_strings(batch["doc_id"].combine_chunks())
+        h = hash_strings(one_chunk(batch["doc_id"]))
         if "row_index" in batch.column_names:
             loc = MANIFEST_BASE + batch["row_index"].to_numpy(zero_copy_only=False)
         else:
@@ -274,7 +274,7 @@ def _manifest_ids_by_hash(manifest_path: str, hashes: np.ndarray) -> dict[int, s
     pf = pq.ParquetFile(manifest_path)
     for rg in range(pf.metadata.num_row_groups):
         col = pf.read_row_group(rg, columns=["doc_id"], use_threads=False)["doc_id"]
-        hh = hash_strings(col.combine_chunks())
+        hh = hash_strings(one_chunk(col))
         m = np.isin(hh, want)
         if m.any():
             idx = np.flatnonzero(m)

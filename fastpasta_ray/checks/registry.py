@@ -23,6 +23,7 @@ from dataclasses import asdict
 import pyarrow as pa
 
 from fastpasta_ray import schema as S
+from fastpasta_ray.sketches import one_chunk
 from fastpasta_ray.stages.validate import CheckConfig
 
 _REGISTRY: dict[str, Callable] = {}
@@ -158,9 +159,9 @@ def check_max_len(batch: pa.Table, cfg: CheckConfig) -> pa.Table:
     ntok = batch["n_tok"].to_numpy(zero_copy_only=False)
     return pa.table(
         {
-            "part": pc2.take(batch["part"].combine_chunks(), idx),
-            "row_index": pc2.take(batch["row_index"].combine_chunks(), idx),
-            "doc_id": pc2.take(batch["doc_id"].combine_chunks(), idx),
+            "part": pc2.take(one_chunk(batch["part"]), idx),
+            "row_index": pc2.take(one_chunk(batch["row_index"]), idx),
+            "doc_id": pc2.take(one_chunk(batch["doc_id"]), idx),
             "code": pa.array(["E9100"] * len(rows), type=pa.string()),
             "column": pa.array(["n_tok"] * len(rows), type=pa.string()),
             "message": pa.array(

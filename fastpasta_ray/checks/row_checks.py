@@ -18,6 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from fastpasta_ray import schema as S
+from fastpasta_ray.sketches import one_chunk
 
 
 def _emit(
@@ -69,15 +70,15 @@ def run_row_checks(
     passing them here avoids re-walking the payload (2 fewer full passes
     per batch on a memory-bandwidth-bound workload).
     """
-    part = batch["part"].combine_chunks()
-    row_index = batch["row_index"].combine_chunks()
-    doc_id = batch["doc_id"].combine_chunks()
+    part = one_chunk(batch["part"])
+    row_index = one_chunk(batch["row_index"])
+    doc_id = one_chunk(batch["doc_id"])
     # scalar-only mode (read_payload=False, M7 skip_payload analog): the
     # tokens column is pruned at the read; token checks are skipped
     has_tokens = "tokens" in batch.column_names
-    tokens = batch["tokens"].combine_chunks() if has_tokens else None
-    n_tok = batch["n_tok"].combine_chunks()
-    source = batch["source"].combine_chunks()
+    tokens = one_chunk(batch["tokens"]) if has_tokens else None
+    n_tok = one_chunk(batch["n_tok"])
+    source = one_chunk(batch["source"])
     n = batch.num_rows
     out: list[pa.Table] = []
 

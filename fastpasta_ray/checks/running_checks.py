@@ -45,6 +45,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from fastpasta_ray import schema as S
+from fastpasta_ray.sketches import one_chunk
 
 
 class RunningState:
@@ -94,7 +95,7 @@ class RunningState:
         carries the last seen doc index, the last interval's verdict and
         the set-once partition ordinal across batches. Returns violation
         rows."""
-        doc_id = batch["doc_id"].combine_chunks()
+        doc_id = one_chunk(batch["doc_id"])
         # extract the partition ordinal + trailing index; malformed → null
         groups = pc.extract_regex(doc_id, r"/(?P<ord>\d{4})/(?P<idx>\d{8})$")
         idx = pc.cast(pc.struct_field(groups, "idx"), pa.int64())
@@ -212,7 +213,7 @@ class RunningState:
             # mode only — see module docstring). Gated on intervals the
             # E440-E443 lanes did NOT flag (no double-reporting).
             if self.stride_multiples and stride > 0:
-                row_np = batch["row_index"].combine_chunks().to_numpy(
+                row_np = one_chunk(batch["row_index"]).to_numpy(
                     zero_copy_only=False
                 ).astype(np.int64)[vrows]
                 prev_row = np.empty_like(row_np)
@@ -270,8 +271,8 @@ class RunningState:
         msgs = [m for lane in out_msgs for m in lane]
         # emit in row order (stable across lane concatenation)
         order = np.argsort(pos, kind="stable")
-        part = batch["part"].combine_chunks()
-        row_index = batch["row_index"].combine_chunks()
+        part = one_chunk(batch["part"])
+        row_index = one_chunk(batch["row_index"])
         take = pa.array(pos[order])
         codes = [codes[i] for i in order]
         msgs = [msgs[i] for i in order]

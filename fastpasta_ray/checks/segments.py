@@ -32,6 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from fastpasta_ray import schema as S
+from fastpasta_ray.sketches import one_chunk
 
 
 def run_segment_checks(
@@ -49,9 +50,9 @@ def run_segment_checks(
     tuple of token ids). When set, every row with ≥1 segment must have a
     header sequence exactly equal to one of them (chip_orders_ob analog —
     the reference ships [[0..6],[8..14]] as its OB defaults)."""
-    tokens = batch["tokens"].combine_chunks()
+    tokens = one_chunk(batch["tokens"])
     if isinstance(tokens, pa.ChunkedArray):
-        tokens = tokens.combine_chunks()
+        tokens = one_chunk(tokens)
     n = batch.num_rows
     lens_arr = pc.list_value_length(tokens)
     lens = np.where(
@@ -88,9 +89,9 @@ def run_segment_checks(
     empty_per_row = np.bincount(row_of[empty_seg], minlength=n)
 
     out: list[pa.Table] = []
-    part = batch["part"].combine_chunks()
-    row_index = batch["row_index"].combine_chunks()
-    doc_id = batch["doc_id"].combine_chunks()
+    part = one_chunk(batch["part"])
+    row_index = one_chunk(batch["row_index"])
+    doc_id = one_chunk(batch["doc_id"])
 
     def emit(rows: np.ndarray, code: str, details: list[str]):
         if not len(rows):

@@ -221,14 +221,14 @@ def word_ngram_hashes_flat(arr, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
     (per-doc unique) match a SQL ``SELECT DISTINCT doc_id, shingle`` over
     word n-grams — the DuckDB-checkable exact-Jaccard ground truth."""
     if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
+        arr = one_chunk(arr)
     # null text → empty string: a null list length would cast NaN→INT64_MIN
     # and wrap the window count to ~9e18 (corrupting every later doc's
     # offsets); "" yields one empty word and zero n-grams for n ≥ 2
     arr = pc.fill_null(arr, "")
     toks = pc.split_pattern(arr, " ")
     if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
+        toks = one_chunk(toks)
     counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     wh = hash_strings(toks.flatten())  # .flatten() honors slice offsets
     n_docs = len(counts)
@@ -790,7 +790,9 @@ def minhash_lsh_pairs(
     def band_keys(batch: pa.Table) -> pa.Table:
         _require_int_ids(batch[id_col], id_col, "minhash_lsh_pairs")
         sig_t = hasher(batch, id_col=id_col, text_col=text_col)
-        flat = sig_t["minhash"].combine_chunks().values.to_numpy(zero_copy_only=False).reshape(-1, num_perm)
+        # flatten(), not .values: slice-safe (a zero-copy chunk view may
+        # carry an offset; .values ignores it and reads the full child)
+        flat = one_chunk(sig_t["minhash"]).flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
         ids = sig_t[id_col].to_numpy(zero_copy_only=False)
         n = len(ids)
         bh = np.zeros((n, bands), dtype=np.uint64)

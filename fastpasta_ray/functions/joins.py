@@ -37,7 +37,7 @@ def asof_join(
 ) -> "ray.data.Dataset":
     """As-of join of two datasets on time column ``on`` within key ``by``."""
 
-    from fastpasta_ray.sketches import hash_strings, splitmix64
+    from fastpasta_ray.sketches import hash_strings, one_chunk, splitmix64
 
     def tag(side: str):
         def f(b: pa.Table) -> pa.Table:
@@ -47,7 +47,7 @@ def asof_join(
                     col.to_numpy(zero_copy_only=False).astype(np.uint64)
                 )
             else:  # string or other keys: deterministic siphash
-                h = hash_strings(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+                h = hash_strings(one_chunk(col))
             return b.append_column(
                 "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
             ).append_column("__side", pa.array([side] * b.num_rows, type=pa.string()))
@@ -173,7 +173,7 @@ def range_join_count(
     vectorized searchsorteds. Equivalent SQL: a correlated COUNT over
     ``r.ts BETWEEN l.ts - before AND l.ts + after``. Per-bucket right side
     must fit a task (same documented assumption as asof_join)."""
-    from fastpasta_ray.sketches import hash_strings, splitmix64
+    from fastpasta_ray.sketches import hash_strings, one_chunk, splitmix64
 
     def tag(side: str, ts_col: str):
         def f(b: pa.Table) -> pa.Table:
@@ -181,7 +181,7 @@ def range_join_count(
             if pa.types.is_integer(col.type):
                 h = splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
             else:
-                h = hash_strings(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+                h = hash_strings(one_chunk(col))
             return pa.table(
                 {
                     "__bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),

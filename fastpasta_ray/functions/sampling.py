@@ -27,7 +27,7 @@ def _row_hashes(batch: pa.Table, key_col: str) -> np.ndarray:
     col = batch[key_col]
     if pa.types.is_integer(col.type):
         return splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
-    return hash_strings(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    return hash_strings(one_chunk(col))
 
 
 def _stratum_thresholds(

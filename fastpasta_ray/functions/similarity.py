@@ -17,11 +17,13 @@ import pyarrow as pa
 
 import ray
 
+from fastpasta_ray.sketches import one_chunk
+
 
 def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
-    a = batch[col].combine_chunks()
+    a = one_chunk(batch[col])
     if isinstance(a, pa.ChunkedArray):
-        a = a.combine_chunks()
+        a = one_chunk(a)
     # .flatten() honors the array's slice offset; .values would misalign
     # rows on a zero-copy slice (latent map_groups hazard)
     flat = a.flatten().to_numpy(zero_copy_only=False)

@@ -38,13 +38,13 @@ def rolling_count(
     BETWEEN INTERVAL w PRECEDING AND CURRENT ROW)``."""
 
     def bucketize(b: pa.Table) -> pa.Table:
-        from fastpasta_ray.sketches import hash_strings, splitmix64
+        from fastpasta_ray.sketches import hash_strings, one_chunk, splitmix64
 
         col = b[key_col]
         if pa.types.is_integer(col.type):
             h = splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
         else:
-            h = hash_strings(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+            h = hash_strings(one_chunk(col))
         return b.append_column(
             "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
         )
@@ -96,13 +96,13 @@ def sessionize(
     n_events). Vectorized gaps-and-islands per hash bucket."""
 
     def bucketize(b: pa.Table) -> pa.Table:
-        from fastpasta_ray.sketches import hash_strings, splitmix64
+        from fastpasta_ray.sketches import hash_strings, one_chunk, splitmix64
 
         col = b[key_col]
         if pa.types.is_integer(col.type):
             h = splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
         else:  # string keys hash too (same fix as joins.asof_join)
-            h = hash_strings(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+            h = hash_strings(one_chunk(col))
         return b.append_column(
             "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
         )

@@ -24,6 +24,7 @@ import ray
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from fastpasta_ray.functions import text as ftext
+from fastpasta_ray.sketches import one_chunk
 
 
 def _rp(sf_dir: str, table: str, columns=None, blocks: int | None = None):
@@ -785,7 +786,7 @@ def q_word_topk(sf_dir: str):
     def partial_counts(b: pa.Table) -> pa.Table:
         toks = pc.split_pattern(b["text"], " ")
         if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
+            toks = one_chunk(toks)
         # pc.value_counts on the flattened Arrow array is the C-kernel path
         # (VERDICT r1: np.unique over Python objects was ~10× slower)
         vc = pc.value_counts(toks.flatten())

@@ -36,7 +36,7 @@ import ray
 from fastpasta_ray import schema as S
 from fastpasta_ray.checks.row_checks import run_row_checks
 from fastpasta_ray.checks.running_checks import RunningState
-from fastpasta_ray.sketches import PartStats, hash_strings
+from fastpasta_ray.sketches import PartStats, hash_strings, one_chunk
 from fastpasta_ray.sources.parquet import iter_file_batches
 
 
@@ -253,7 +253,7 @@ class ValidateFiles:
             vals = None
             minmax = None
             if cfg.read_payload:
-                tokens = batch["tokens"].combine_chunks()
+                tokens = one_chunk(batch["tokens"])
                 flat = tokens.flatten()
                 stats.token_count += len(flat)
                 if len(flat):
@@ -265,11 +265,11 @@ class ValidateFiles:
                     minmax = scan_token_values(
                         vals, stats.token_mm, stats.vocab_bitmap
                     )
-            ntok = batch["n_tok"].combine_chunks().to_numpy(zero_copy_only=False)
+            ntok = one_chunk(batch["n_tok"]).to_numpy(zero_copy_only=False)
             stats.n_tok_hist.add(ntok)
-            stats.source_hist.add_arrow(batch["source"].combine_chunks())
+            stats.source_hist.add_arrow(one_chunk(batch["source"]))
             stats.hll.add_hashes(
-                hash_strings(batch["doc_id"].combine_chunks())
+                hash_strings(one_chunk(batch["doc_id"]))
             )
             # --- checks ----------------------------------------------------
             if emitted < cfg.max_errors_per_part:

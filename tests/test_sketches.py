@@ -172,3 +172,30 @@ def test_tree_merge_stats_matches_driver_fold():
     assert merged.vocab_bitmap.count == serial.vocab_bitmap.count
     assert abs(merged.hll.estimate() - serial.hll.estimate()) < 1e-9
     assert merged.n_tok_hist.quantiles() == serial.n_tok_hist.quantiles()
+
+
+def test_scan_token_values_matches_unfused():
+    """The fused cache-blocked scan (one DRAM pass) must be bit-identical
+    to the separate MinMax.add + VocabBitmap.add path it replaced — across
+    in-range, out-of-range (both signs), chunk-boundary and empty inputs."""
+    import numpy as np
+
+    from fastpasta_ray.sketches import MinMax, VocabBitmap, scan_token_values
+
+    rng = np.random.default_rng(11)
+    vocab = 5000
+    cases = [
+        rng.integers(0, vocab, size=(1 << 18) + 37, dtype=np.int64),  # spans chunks
+        rng.integers(-50, vocab + 50, size=1000, dtype=np.int64),  # both tails
+        np.array([vocab - 1, 0, vocab, -1], dtype=np.int64),
+        np.array([], dtype=np.int64),
+    ]
+    mm_f, bm_f = MinMax(), VocabBitmap(vocab)
+    mm_u, bm_u = MinMax(), VocabBitmap(vocab)
+    for vals in cases:
+        r_f = scan_token_values(vals, mm_f, bm_f)
+        r_u = mm_u.add(vals)
+        bm_u.add(vals, r_u)
+        assert r_f == r_u
+        assert (mm_f.lo, mm_f.hi) == (mm_u.lo, mm_u.hi)
+        assert np.array_equal(bm_f.seen, bm_u.seen)
