@@ -199,3 +199,29 @@ def test_scan_token_values_matches_unfused():
         assert r_f == r_u
         assert (mm_f.lo, mm_f.hi) == (mm_u.lo, mm_u.hi)
         assert np.array_equal(bm_f.seen, bm_u.seen)
+
+
+def test_one_chunk_zero_copy_and_slice_safety():
+    """one_chunk must be a zero-copy view for single-chunk columns, and
+    downstream buffer readers (utf8_parts, hash_strings) must honor the
+    slice offset a view can carry."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fastpasta_ray.sketches import hash_strings, one_chunk, utf8_parts
+
+    s = pa.array([f"doc-{i}" for i in range(100)])
+    ca = pa.chunked_array([s])
+    v = one_chunk(ca)
+    assert v.buffers()[2].address == s.buffers()[2].address  # shared buffer
+    # sliced view: offset != 0 — hashes must match the compacted copy
+    sl = pa.chunked_array([s.slice(17, 50)])
+    got = hash_strings(one_chunk(sl))
+    want = hash_strings(pa.array(s.to_pylist()[17:67]))
+    assert np.array_equal(got, want)
+    data, lens = utf8_parts(one_chunk(sl))
+    assert lens.sum() == sum(len(f"doc-{i}") for i in range(17, 67))
+    # multi-chunk still concatenates; empty still yields an empty array
+    mc = pa.chunked_array([s.slice(0, 3), s.slice(3, 2)])
+    assert one_chunk(mc).to_pylist() == s.to_pylist()[:5]
+    assert len(one_chunk(pa.chunked_array([], type=pa.string()))) == 0
