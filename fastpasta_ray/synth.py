@@ -237,8 +237,17 @@ def write_fixture(
     defect_parts: tuple[int, ...] = (0,),
     manifest: bool = True,
     row_group_size: int = 10_000,
+    dictionary_columns: tuple[str, ...] = ("source",),
 ) -> dict:
     """Write a fixture directory: one parquet file per partition (+ manifest).
+
+    High-entropy columns (tokens, doc_id, n_tok) are PLAIN-encoded: token ids
+    barely dictionary-compress, and the dict indirection costs ~1.8x on decode
+    (measured, SCALE.md "storage-layout experiment"). Only the low-cardinality
+    columns named in ``dictionary_columns`` keep dictionary encoding. Snappy
+    stays on — it decodes faster than uncompressed (fewer bytes through the
+    page-cache read path). This is the documented hot-storage layout for the
+    100 TB deployment.
 
     Returns an info dict with expected defect row positions per partition:
     ``{"parts": [...], "defect_rows": {part_name: [row_index, ...]}}``.
@@ -266,7 +275,10 @@ def write_fixture(
             t, rows = INJECTORS[defect](t, rng, defect_k)
             info["defect_rows"][part_name(p)] = [int(r) for r in rows]
         path = os.path.join(out_dir, f"{part_name(p)}.parquet")
-        pq.write_table(t, path, row_group_size=row_group_size)
+        pq.write_table(
+            t, path, row_group_size=row_group_size,
+            use_dictionary=list(dictionary_columns),
+        )
         info["parts"].append(path)
     if manifest:
         # small row groups → the manifest can be read in parallel slices
@@ -274,6 +286,7 @@ def write_fixture(
             pa.concat_tables(manifest_tables),
             os.path.join(out_dir, "_manifest.parquet"),
             row_group_size=row_group_size,
+            use_dictionary=list(dictionary_columns),
         )
     return info
 
