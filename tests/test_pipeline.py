@@ -434,3 +434,34 @@ def test_key_check_violations_do_not_flip_stopped_early(tmp_path):
         d, cfg=CheckConfig(enabled_codes=("E7",), running_checks=False)
     )
     assert res2.violations.num_rows == 0
+
+
+def test_fixture_storage_layout_plain_hot_columns(tmp_path):
+    """SCALE.md round-4 layout experiment: token ids are high-entropy, so
+    dictionary encoding halves the file but costs ~1.8x on decode. The
+    fixture writer must plain-encode tokens/doc_id/n_tok (the hot decode
+    path) and keep dictionary only for the low-cardinality source column."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "layoutfix")
+    write_fixture(d, SynthSpec(n_rows=300, n_parts=1))
+    meta = pq.ParquetFile(os.path.join(d, "part-0000.parquet")).metadata
+    enc = {
+        meta.row_group(0).column(i).path_in_schema: set(
+            meta.row_group(0).column(i).encodings
+        )
+        for i in range(meta.row_group(0).num_columns)
+    }
+    for col in ("tokens.list.element", "doc_id", "n_tok"):
+        assert "RLE_DICTIONARY" not in enc[col], col
+        assert "PLAIN" in enc[col], col
+    assert "RLE_DICTIONARY" in enc["source"]
+    # manifest follows the same layout
+    mmeta = pq.ParquetFile(os.path.join(d, "_manifest.parquet")).metadata
+    menc = {
+        mmeta.row_group(0).column(i).path_in_schema: set(
+            mmeta.row_group(0).column(i).encodings
+        )
+        for i in range(mmeta.row_group(0).num_columns)
+    }
+    assert "RLE_DICTIONARY" not in menc["doc_id"]
