@@ -85,10 +85,10 @@ def bench_fixture_dir(sf: float, mult: int = 1) -> str:
     wall (VERDICT r2 #4)."""
     n_parts = 64
     rows_per_part = max(200, int(20000 * (sf / 0.1)) * mult)
-    # "_plain" = plain-encoded token/doc_id/n_tok columns (SCALE.md round-4
-    # storage-layout experiment: dict decode costs 1.8x; this is the
-    # recommended hot layout, so the bench measures it)
-    d = f"/tmp/fp_bench_seq_sf{sf}_{n_parts}x{rows_per_part}_plain"
+    # dict+snappy, rg 10k (SCALE.md round-4 storage-layout experiment,
+    # corrected: plain token columns lose ~40% at 32-way concurrency —
+    # double the memory-bus bytes for a ~5% decode saving)
+    d = f"/tmp/fp_bench_seq_sf{sf}_{n_parts}x{rows_per_part}"
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
         from fastpasta_ray.synth import SynthSpec, write_fixture

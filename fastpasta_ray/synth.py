@@ -237,17 +237,18 @@ def write_fixture(
     defect_parts: tuple[int, ...] = (0,),
     manifest: bool = True,
     row_group_size: int = 10_000,
-    dictionary_columns: tuple[str, ...] = ("source",),
+    dictionary_columns: tuple[str, ...] | None = None,
 ) -> dict:
     """Write a fixture directory: one parquet file per partition (+ manifest).
 
-    High-entropy columns (tokens, doc_id, n_tok) are PLAIN-encoded: token ids
-    barely dictionary-compress, and the dict indirection costs ~1.8x on decode
-    (measured, SCALE.md "storage-layout experiment"). Only the low-cardinality
-    columns named in ``dictionary_columns`` keep dictionary encoding. Snappy
-    stays on — it decodes faster than uncompressed (fewer bytes through the
-    page-cache read path). This is the documented hot-storage layout for the
-    100 TB deployment.
+    Layout: parquet defaults (dictionary + snappy) with SMALL (10k) row
+    groups. Measured on this corpus (SCALE.md "storage-layout experiment"):
+    row-group size is the decode lever that matters (rg 10k decodes 1.46x
+    faster than the 1M-row default); plain-encoding the token column buys
+    only ~5% more single-thread but DOUBLES the bytes streamed through the
+    memory bus and loses ~40% end-to-end at 32-way concurrency. Pass
+    ``dictionary_columns`` to restrict dictionary encoding to specific
+    columns (plain elsewhere) for layout experiments.
 
     Returns an info dict with expected defect row positions per partition:
     ``{"parts": [...], "defect_rows": {part_name: [row_index, ...]}}``.
@@ -256,6 +257,7 @@ def write_fixture(
     os.makedirs(out_dir, exist_ok=True)
     info: dict = {"parts": [], "defect_rows": {}, "spec": spec}
     manifest_tables = []
+    use_dict = True if dictionary_columns is None else list(dictionary_columns)
     for p in range(spec.n_parts):
         t = gen_partition(spec, p)
         if manifest:
@@ -275,10 +277,7 @@ def write_fixture(
             t, rows = INJECTORS[defect](t, rng, defect_k)
             info["defect_rows"][part_name(p)] = [int(r) for r in rows]
         path = os.path.join(out_dir, f"{part_name(p)}.parquet")
-        pq.write_table(
-            t, path, row_group_size=row_group_size,
-            use_dictionary=list(dictionary_columns),
-        )
+        pq.write_table(t, path, row_group_size=row_group_size, use_dictionary=use_dict)
         info["parts"].append(path)
     if manifest:
         # small row groups → the manifest can be read in parallel slices
@@ -286,7 +285,7 @@ def write_fixture(
             pa.concat_tables(manifest_tables),
             os.path.join(out_dir, "_manifest.parquet"),
             row_group_size=row_group_size,
-            use_dictionary=list(dictionary_columns),
+            use_dictionary=use_dict,
         )
     return info
 
