@@ -733,11 +733,22 @@ def key_checks(
                     )
                 )
     if packed:
-        # few reduce tasks each slicing a RANGE of buckets: reduce compute
-        # is trivial; task launches + map-output header deserialization
+        # reduce tasks each slice a RANGE of buckets. Two regimes, sized by
+        # the exchanged-row estimate: at bench scale reduce compute is
+        # trivial and task launches + map-output header deserialization
         # dominate, so fewer tasks = less fixed cost (measured: reduce wave
-        # 0.5 s → ~0.15 s at 32 buckets / 8 tasks)
-        n_tasks = max(1, min(num_buckets, cpus // 4))
+        # 0.5 s → ~0.15 s at 32 buckets / 8 tasks at 32 cpus). But the
+        # candidate scan costs ~0.6 µs/row, so at bigger inputs a low task
+        # count SERIALIZES the reduce on a small machine (measured at
+        # num_cpus=4 on the 4× fixture: cpus//4 = 1 task = 5.6 s of serial
+        # reduce while 3 cores idle — the 1→4 scaling drag). Grant one task
+        # per ~750k exchanged rows (seq + manifest sides), capped by cores
+        # and buckets, with cpus//4 as the floor.
+        est_exchange = est_rows * (2 if manifest_path is not None else 1)
+        n_tasks = max(
+            1,
+            min(num_buckets, max(cpus // 4, min(cpus, est_exchange // 750_000))),
+        )
         ranges = np.array_split(np.arange(num_buckets), n_tasks)
         cand_refs = [
             _reduce_buckets_packed.remote([int(b) for b in r], *maps)
