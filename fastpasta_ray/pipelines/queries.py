@@ -742,13 +742,15 @@ def q_nchars_quantiles(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         import json as _json
 
-        src = np.asarray(b["source"].to_pylist(), dtype=object)
+        from fastpasta_ray.sketches import group_codes
+
+        codes, uniques = group_codes(b["source"])
         nch = b["n_chars"].to_numpy(zero_copy_only=False)
         rows = {"source": [], "hist": []}
-        for s in np.unique(src):
+        for k, s in enumerate(uniques):
             h = IntHistogram()
-            h.add(nch[src == s])
-            rows["source"].append(str(s))
+            h.add(nch[codes == k])
+            rows["source"].append(s)
             rows["hist"].append(_json.dumps(h.to_json()))
         return pa.table({"source": pa.array(rows["source"]), "hist": pa.array(rows["hist"])})
 
@@ -1260,13 +1262,15 @@ def q_value_quantiles_tdigest(sf_dir: str):
     ds = _rp(sf_dir, "events", ["event_type", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
-        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        from fastpasta_ray.sketches import group_codes
+
+        codes, uniques = group_codes(b["event_type"])
         val = b["value"].to_numpy(zero_copy_only=False)
         rows = {"event_type": [], "digest": []}
-        for t in np.unique(et):
+        for k, t in enumerate(uniques):
             td = TDigest()
-            td.add(val[et == t])
-            rows["event_type"].append(str(t))
+            td.add(val[codes == k])
+            rows["event_type"].append(t)
             rows["digest"].append(_json.dumps(td.to_json()))
         return pa.table({"event_type": pa.array(rows["event_type"]), "digest": pa.array(rows["digest"])})
 
@@ -1294,13 +1298,15 @@ def q_value_quantiles_tdigest(sf_dir: str):
     ests = {t: (merged[t].quantile(0.5), merged[t].quantile(0.99)) for t in merged}
 
     def rank_counts(b: pa.Table) -> pa.Table:
-        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        from fastpasta_ray.sketches import group_codes
+
+        codes, uniques = group_codes(b["event_type"])
         val = b["value"].to_numpy(zero_copy_only=False)
         rows = {"event_type": [], "n": [], "le50": [], "le99": []}
-        for t in np.unique(et):
-            m = et == t
-            e50, e99 = ests[str(t)]
-            rows["event_type"].append(str(t))
+        for k, t in enumerate(uniques):
+            m = codes == k
+            e50, e99 = ests[t]
+            rows["event_type"].append(t)
             rows["n"].append(int(m.sum()))
             rows["le50"].append(int((val[m] <= e50).sum()))
             rows["le99"].append(int((val[m] <= e99).sum()))

@@ -79,6 +79,19 @@ def utf8_parts(texts) -> tuple[np.ndarray, np.ndarray]:
     return np.frombuffer(b"".join(enc), dtype=np.uint8), lens
 
 
+def group_codes(col) -> tuple[np.ndarray, list[str]]:
+    """(int64 group codes per row, distinct values) of a string column.
+
+    Dictionary-encode once, then group masks are numeric ``codes == k``
+    comparisons — no per-row Python objects and no O(rows × groups)
+    object-array equality (the ``np.asarray(to_pylist, dtype=object)``
+    pattern this replaces). Nulls group under ''."""
+    a = one_chunk(pc.fill_null(one_chunk(col), ""))
+    enc = a.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes, [str(u) for u in enc.dictionary.to_pylist()]
+
+
 _FNV = np.uint64(1099511628211)  # 64-bit FNV prime (odd → invertible mod 2^64)
 
 
