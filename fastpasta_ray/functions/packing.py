@@ -105,12 +105,14 @@ def pack_sequences(
         # yields): pack each part independently so bins never cross files
         if part_col not in batch.column_names or batch.num_rows == 0:
             return pack_one(batch, "")
-        parts = np.asarray(batch[part_col].to_pylist(), dtype=object)
-        seg_new = np.r_[True, parts[1:] != parts[:-1]]
+        from fastpasta_ray.sketches import group_codes
+
+        codes, uniques = group_codes(batch[part_col])
+        seg_new = np.r_[True, codes[1:] != codes[:-1]]
         starts = np.flatnonzero(seg_new)
-        ends = np.r_[starts[1:], len(parts)]
+        ends = np.r_[starts[1:], len(codes)]
         outs = [
-            pack_one(batch.slice(s, e - s), str(parts[s]))
+            pack_one(batch.slice(s, e - s), uniques[codes[s]])
             for s, e in zip(starts, ends)
         ]
         return pa.concat_tables(outs)

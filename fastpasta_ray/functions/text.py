@@ -8,7 +8,6 @@ of the callable classes — the actor-pool pattern for map_batches stages.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -175,8 +174,11 @@ def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit document fingerprint (deterministic content hash) — the cheap
-    exact-dup key. pandas.util.hash_array = siphash with fixed key, stable
-    across processes/machines."""
-    texts = batch[text_col].to_pandas()
-    h = pd.util.hash_array(np.asarray(texts, dtype=object), categorize=False)
+    exact-dup key. Same Arrow-buffer hash as every other string-hash site
+    (sketches.hash_strings: polars SIMD xxhash / segmented-FNV fallback,
+    fixed seed → stable across processes within one job); the last
+    pd.util.hash_array object-array site migrated in round 4."""
+    from fastpasta_ray.sketches import hash_strings
+
+    h = hash_strings(batch[text_col])
     return batch.append_column("fingerprint", pa.array(h.astype(np.uint64)))
