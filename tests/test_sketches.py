@@ -225,3 +225,22 @@ def test_one_chunk_zero_copy_and_slice_safety():
     mc = pa.chunked_array([s.slice(0, 3), s.slice(3, 2)])
     assert one_chunk(mc).to_pylist() == s.to_pylist()[:5]
     assert len(one_chunk(pa.chunked_array([], type=pa.string()))) == 0
+
+
+def test_group_codes():
+    """group_codes: codes index uniques, nulls group under '', sliced and
+    chunked inputs agree with the compacted copy."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fastpasta_ray.sketches import group_codes
+
+    col = pa.chunked_array([pa.array(["b", "a", None, "b", "a", ""])])
+    codes, uniques = group_codes(col)
+    assert [uniques[c] for c in codes] == ["b", "a", "", "b", "a", ""]
+    # round-trip through a slice offset
+    s = pa.array([f"s{i % 3}" for i in range(30)])
+    c1, u1 = group_codes(pa.chunked_array([s.slice(7, 20)]))
+    c2, u2 = group_codes(pa.array(s.to_pylist()[7:27]))
+    assert [u1[c] for c in c1] == [u2[c] for c in c2]
+    assert codes.dtype == np.int64
