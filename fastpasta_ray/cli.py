@@ -31,13 +31,23 @@ def _ray_session():
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        # under `ray job submit` the job runtime sets RAY_ADDRESS to the
+        # cluster address — join it (num_cpus is only legal when starting
+        # a fresh local instance). Standalone/CI: RAY_ADDRESS unset or
+        # "local" starts a single-node session sized by RAY_GRAFT_CPUS.
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        if addr == "local":
+            ray.init(
+                address="local",
+                num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
+        else:
+            ray.init(
+                address=addr, ignore_reinit_error=True, logging_level="ERROR"
+            )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
