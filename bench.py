@@ -379,6 +379,11 @@ def run_scaling(sf_dir: str) -> dict:
                 "num_cpus": c,
                 "sequences_per_sec": out[c]["sequences_per_sec"],
                 "sec": out[c]["value"],
+                # box-state telemetry of the winning rep, so matched pairs
+                # can be gated on comparable capacity (graft box throttles
+                # in bursts invisible to loadavg — see BASELINE.md)
+                "canary_sec": out[c].get("canary_sec_start"),
+                "load_avg": out[c].get("load_avg_start"),
             }
             for c in (1, 2, 4, 8, 32)
         },
