@@ -609,6 +609,27 @@ def _reduce_buckets_packed(bs: list[int], *map_outputs) -> pa.Table:
     return pa.concat_tables(outs) if outs else CANDIDATE_SCHEMA.empty_table()
 
 
+def _packed_reduce_task_count(cpus: int, num_buckets: int, est_exchange: int) -> int:
+    """Packed-exchange reduce task count — two regimes, sized by the
+    exchanged-row estimate.
+
+    At bench scale the reduce compute is trivial and task launches +
+    map-output header deserialization dominate, so fewer tasks = less
+    fixed cost (measured: reduce wave 0.5 s → ~0.15 s going 32 buckets →
+    8 tasks at 32 cpus). But the candidate scan costs ~0.6 µs/row, so at
+    bigger inputs a low task count SERIALIZES the reduce on a small
+    machine — measured at num_cpus=4 on the 4× bench fixture: the old
+    ``cpus // 4`` heuristic granted ONE task running ~5.6 s of candidate
+    scanning while 3 cores idled, the main 1→4 scaling drag (BASELINE.md
+    round 4: fixing this moved the N→4N ladder from 0.73 to 0.886).
+    Grant one task per ~750k exchanged rows, capped by cores and buckets,
+    floored at ``cpus // 4`` so the fixed-cost regime keeps its optimum."""
+    return max(
+        1,
+        min(num_buckets, max(cpus // 4, min(cpus, est_exchange // 750_000))),
+    )
+
+
 def key_checks_dataset(
     files: list[str],
     manifest_path: str | None,
@@ -733,22 +754,8 @@ def key_checks(
                     )
                 )
     if packed:
-        # reduce tasks each slice a RANGE of buckets. Two regimes, sized by
-        # the exchanged-row estimate: at bench scale reduce compute is
-        # trivial and task launches + map-output header deserialization
-        # dominate, so fewer tasks = less fixed cost (measured: reduce wave
-        # 0.5 s → ~0.15 s at 32 buckets / 8 tasks at 32 cpus). But the
-        # candidate scan costs ~0.6 µs/row, so at bigger inputs a low task
-        # count SERIALIZES the reduce on a small machine (measured at
-        # num_cpus=4 on the 4× fixture: cpus//4 = 1 task = 5.6 s of serial
-        # reduce while 3 cores idle — the 1→4 scaling drag). Grant one task
-        # per ~750k exchanged rows (seq + manifest sides), capped by cores
-        # and buckets, with cpus//4 as the floor.
         est_exchange = est_rows * (2 if manifest_path is not None else 1)
-        n_tasks = max(
-            1,
-            min(num_buckets, max(cpus // 4, min(cpus, est_exchange // 750_000))),
-        )
+        n_tasks = _packed_reduce_task_count(cpus, num_buckets, est_exchange)
         ranges = np.array_split(np.arange(num_buckets), n_tasks)
         cand_refs = [
             _reduce_buckets_packed.remote([int(b) for b in r], *maps)
