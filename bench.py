@@ -235,6 +235,7 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
             "q3_shipping_priority",
             "q5_local_supplier_volume",
             "word_topk",
+            "unigram_logprob",
             "contamination_check",
             "contamination_check_dist",
             "mixture_sample",

@@ -182,3 +182,125 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
     h = hash_strings(batch[text_col])
     return batch.append_column("fingerprint", pa.array(h.astype(np.uint64)))
+
+
+# ---------------------------------------------------------------------------
+# unigram log-probability quality score (CCNet-style LM filtering, model-free)
+# ---------------------------------------------------------------------------
+
+def unigram_logprob_table(
+    ds,
+    text_col: str = "text",
+    *,
+    max_vocab: int = 5_000_000,
+    alpha: float = 0.0,
+) -> tuple[pa.Array, np.ndarray, float]:
+    """Corpus word → log P(word) table: ``(vocab, logprob, oov_logprob)``.
+
+    The standard model-free perplexity proxy for corpus filtering (CCNet /
+    Wikipedia-LM style): score each document by the mean log-probability of
+    its words under the corpus unigram distribution; low scores flag
+    boilerplate/garbage, very high scores flag degenerate repetition.
+
+    Scale shape: per-batch ``pc.value_counts`` pre-aggregates before the
+    groupby, so the shuffle carries (word, count) partials — bounded by
+    distinct words per block (Zipf), not corpus size. The merged table is
+    vocab-sized; above ``max_vocab`` only the top entries by count are
+    kept (drop LOGGED) and dropped words score at ``oov_logprob``, so the
+    broadcast stays bounded at any corpus size. ``alpha`` > 0 applies
+    add-alpha smoothing (required for scoring text outside the fitted
+    corpus; the exact-oracle path uses alpha=0 over its own corpus)."""
+    from ray.data.aggregate import Sum
+
+    from fastpasta_ray.sketches import one_chunk
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = one_chunk(pc.split_pattern(b[text_col], " "))
+        vc = pc.value_counts(toks.flatten())
+        return pa.table(
+            {
+                "word": vc.field("values"),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    freq = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="c"))
+    )
+    rows = []
+    for b in freq.iter_batches(batch_format="pyarrow", batch_size=None):
+        rows.append(b)
+    t = pa.concat_tables(rows) if rows else pa.table(
+        {"word": pa.array([], type=pa.string()), "c": pa.array([], type=pa.int64())}
+    )
+    c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+    total = float(c.sum())
+    n_vocab = len(c)
+    if n_vocab > max_vocab:
+        import logging
+
+        keep = np.argsort(-c, kind="stable")[:max_vocab]
+        keep.sort()
+        logging.getLogger(__name__).warning(
+            "unigram_logprob_table: vocab %d capped to top %d by count "
+            "(%d words dropped score at oov_logprob)",
+            n_vocab, max_vocab, n_vocab - max_vocab,
+        )
+        t = t.take(pa.array(keep))
+        c = c[keep]
+    denom = total + alpha * n_vocab
+    with np.errstate(divide="ignore"):
+        logp = np.log((c + alpha) / denom) if denom > 0 else np.full(len(c), -np.inf)
+    oov = float(np.log(alpha / denom)) if alpha > 0 and denom > 0 else float(
+        logp.min() - np.log(10.0) if len(logp) else -np.inf
+    )
+    from fastpasta_ray.sketches import one_chunk as _oc
+
+    return _oc(t["word"]), logp, oov
+
+
+def unigram_logprob_score(
+    ds,
+    vocab: pa.Array,
+    logprob: np.ndarray,
+    oov_logprob: float,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document mean unigram log-probability — one streaming pass.
+
+    The (vocab, logprob) table is broadcast ONCE via ``ray.put`` and read
+    zero-copy in every task; lookup is the Arrow ``index_in`` C kernel over
+    the flattened word array, per-doc means by offset-difference over a
+    cumulative sum (robust to empty docs, unlike reduceat)."""
+    import ray
+
+    ref = ray.put((vocab, logprob.astype(np.float64), float(oov_logprob)))
+
+    def score(b: pa.Table) -> pa.Table:
+        from fastpasta_ray.sketches import one_chunk
+
+        v, lp, oov = ray.get(ref)
+        toks = one_chunk(pc.split_pattern(pc.fill_null(b[text_col], ""), " "))
+        flat = one_chunk(toks.flatten())
+        idx = pc.fill_null(pc.index_in(flat, value_set=v), -1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        vals = np.where(idx >= 0, lp[np.maximum(idx, 0)], oov)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]  # slice offset safety
+        cs = np.zeros(len(vals) + 1, dtype=np.float64)
+        np.cumsum(vals, out=cs[1:])
+        sums = cs[offs[1:]] - cs[offs[:-1]]
+        n = np.maximum(np.diff(offs), 1)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "logprob": pa.array(np.round(sums / n, 4)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

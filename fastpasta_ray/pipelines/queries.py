@@ -1956,3 +1956,35 @@ ORACLES["quantile_filter"] = """
     GROUP BY source, thr.t ORDER BY source
 """
 QUERIES["quantile_filter"] = q_quantile_filter
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Unigram LM quality score (CCNet-style model-free perplexity proxy):
+    corpus word-frequency table (per-batch value_counts partials → one
+    (word, count) groupby), broadcast once via ray.put, then one streaming
+    scoring pass computing each doc's mean log P(word). The filtering step
+    every LM data pipeline runs before training; exact SQL oracle."""
+    from fastpasta_ray.functions.text import (
+        unigram_logprob_score,
+        unigram_logprob_table,
+    )
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    vocab, logp, oov = unigram_logprob_table(ds, "text")
+    return _to_table(unigram_logprob_score(ds, vocab, logp, oov))
+
+
+ORACLES["unigram_logprob"] = """
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+        SELECT w, COUNT(*) AS c FROM words GROUP BY w
+    ), tot AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq
+    )
+    SELECT words.doc_id,
+           ROUND(SUM(LN(freq.c / tot.n)) / COUNT(*), 4) AS logprob
+    FROM words JOIN freq ON words.w = freq.w CROSS JOIN tot
+    GROUP BY words.doc_id
+"""
+QUERIES["unigram_logprob"] = q_unigram_logprob

@@ -856,3 +856,46 @@ def test_contamination_distributed_equals_broadcast():
         assert len(a) > 0  # shared vocab guarantees some overlap
     with pytest.raises(ValueError):
         contamination_check_distributed(docs, bench, min_overlap=0)
+
+
+def test_unigram_logprob_oov_and_cap():
+    """unigram_logprob_table/score: alpha=0 over the fitted corpus is exact
+    (oracled in test_queries_oracle); here: OOV words score at oov_logprob,
+    max_vocab keeps top-by-count with dropped words at oov, empty text is
+    safe."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fastpasta_ray.functions.text import (
+        unigram_logprob_score,
+        unigram_logprob_table,
+    )
+
+    corpus = rd.from_arrow(
+        pa.table({"doc_id": [0, 1], "text": ["a a a b", "a b c"]})
+    )
+    vocab, logp, oov = unigram_logprob_table(corpus)
+    lut = dict(zip(vocab.to_pylist(), logp))
+    assert math.isclose(lut["a"], math.log(4 / 7))
+    assert math.isclose(lut["c"], math.log(1 / 7))
+    assert oov < min(logp)  # OOV scores below every in-vocab word
+    # score docs containing an OOV word + an empty doc
+    probe = rd.from_arrow(
+        pa.table({"doc_id": [10, 11], "text": ["a zz", ""]})
+    )
+    got = {r["doc_id"]: r["logprob"] for r in unigram_logprob_score(
+        probe, vocab, logp, oov
+    ).take_all()}
+    assert math.isclose(got[10], round((lut["a"] + oov) / 2, 4), abs_tol=1e-4)
+    assert np.isfinite(got[11])  # '' splits to one (OOV) empty word
+    # vocab cap: keep top-2 by count, dropped word scores at oov
+    vocab2, logp2, oov2 = unigram_logprob_table(corpus, max_vocab=2)
+    assert len(vocab2) == 2 and "c" not in vocab2.to_pylist()
+    got2 = unigram_logprob_score(
+        rd.from_arrow(pa.table({"doc_id": [0], "text": ["c"]})),
+        vocab2, logp2, oov2,
+    ).take_all()[0]["logprob"]
+    assert math.isclose(got2, round(oov2, 4), abs_tol=1e-4)
