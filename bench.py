@@ -240,6 +240,7 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
             "contamination_check_dist",
             "mixture_sample",
             "kmeans_assign",
+            "semantic_dedup",
         ):
             reps: list[float] = []
             while len(reps) < 2 or (

@@ -481,3 +481,91 @@ def kmeans_assign(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_cluster_rows: int = 100_000,
+    block: int = 1024,
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of an
+    embedding corpus — cluster with cosine k-means, then drop within-cluster
+    near-duplicates. Returns the DROPPED rows as ``(cluster, id)``.
+
+    Drop rule (keep-first, shared with exact dedup): a row is dropped when
+    ANY lower-id row of the same cluster has cosine >= threshold — whether
+    or not that lower row itself survives. Exactly SQL-expressible (a
+    within-cluster self-join), unlike the transitive keep-set variant.
+
+    Scale shape: pairwise work never leaves a cluster (the SemDeDup trick —
+    k controls the quadratic term; pick k so expected cluster size stays
+    ~1e4-1e5 rows at corpus scale). One shuffle co-locates each cluster;
+    inside a cluster the m x m similarity is evaluated in ``block``-row
+    strips against lower-id rows only, so the temporary is block x m, not
+    m x m. Clusters over ``max_cluster_rows`` are skipped with a LOGGED
+    warning rather than silently stalling the stage."""
+    cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(_emb_matrix(batch, emb_col))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array((m @ c.T).argmax(axis=1).astype(np.int64)),
+                emb_col: batch[emb_col],
+            }
+        )
+
+    def drop_dups(g: pa.Table) -> pa.Table:
+        def empty() -> pa.Table:
+            return pa.table(
+                {
+                    "cluster": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                }
+            )
+
+        n = g.num_rows
+        if n < 2:
+            return empty()
+        if n > max_cluster_rows:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "semantic_dedup: cluster %s has %d rows > max_cluster_rows=%d; "
+                "SKIPPED (increase k or max_cluster_rows)",
+                g["cluster"][0].as_py(), n, max_cluster_rows,
+            )
+            return empty()
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids_s = ids[order]
+        m = _normalize(_emb_matrix(g, emb_col))[order]
+        dropped = np.zeros(n, dtype=bool)
+        for i0 in range(1, n, block):
+            i1 = min(i0 + block, n)
+            sims = m[i0:i1] @ m[:i1].T  # strip vs all rows before its end
+            lower = np.arange(i1)[None, :] < np.arange(i0, i1)[:, None]
+            dropped[i0:i1] = ((sims >= threshold) & lower).any(axis=1)
+        w = np.flatnonzero(dropped)
+        return pa.table(
+            {
+                "cluster": pa.array(
+                    np.full(len(w), g["cluster"][0].as_py(), dtype=np.int64)
+                ),
+                id_col: pa.array(ids_s[w]),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(drop_dups, batch_format="pyarrow")
+    )

@@ -1988,3 +1988,54 @@ ORACLES["unigram_logprob"] = """
     GROUP BY words.doc_id
 """
 QUERIES["unigram_logprob"] = q_unigram_logprob
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): embedding-cluster near-dup removal —
+    the semantic-dedup curation step. Deterministic 8-seed centroids (the
+    kmeans_assign convention) so the SQL oracle replicates the cluster
+    assignment; returns the dropped (cluster, vec_id) rows."""
+    from fastpasta_ray.functions.similarity import semantic_dedup
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seed_rows = ds.sort("vec_id").limit(8).take_all()
+    cent = np.asarray([r["embedding"] for r in seed_rows], dtype=np.float64)
+    t = _to_table(semantic_dedup(ds, cent, threshold=0.4))
+    if t is None:
+        return pa.table(
+            {
+                "cluster": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+            }
+        )
+    return t.sort_by([("cluster", "ascending"), ("vec_id", "ascending")])
+
+
+ORACLES["semantic_dedup"] = """
+    WITH c AS (
+        SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    s AS (
+        -- DOUBLE[] casts: compute cosine in float64 like the engine (the
+        -- float32 kernel can straddle the threshold by an ulp)
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS embedding, c.cluster,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])) AS sim
+        FROM embeddings e CROSS JOIN c
+    ),
+    a AS (
+        SELECT vec_id, embedding, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cluster ASC) AS rn
+        FROM s
+    )
+    SELECT b.cluster, b.vec_id
+    FROM (SELECT * FROM a WHERE rn = 1) b
+    JOIN (SELECT * FROM a WHERE rn = 1) lo
+      ON lo.cluster = b.cluster AND lo.vec_id < b.vec_id
+    WHERE list_cosine_similarity(lo.embedding, b.embedding) >= 0.4
+    GROUP BY b.cluster, b.vec_id
+    ORDER BY b.cluster, b.vec_id
+"""
+QUERIES["semantic_dedup"] = q_semantic_dedup

