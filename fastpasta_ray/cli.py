@@ -305,6 +305,64 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_semdedup(args) -> int:
+    """SemDeDup over an embeddings parquet: fit k-means, drop within-cluster
+    cosine near-dups (keep-first), write the SURVIVING rows as parquet and
+    print the drop summary."""
+    _ray_session()
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from fastpasta_ray.functions.similarity import kmeans_fit, semantic_dedup
+
+    ds = ray.data.read_parquet(args.input)
+    # the dedup stage re-reads the corpus; materialize the (usually pruned)
+    # input once so kmeans passes and the dedup pass share blocks
+    ds = ds.materialize()
+    cent = kmeans_fit(ds, k=args.k, n_iter=args.iters, emb_col=args.emb_col, id_col=args.id_col)
+    dropped = semantic_dedup(
+        ds, cent, threshold=args.threshold, id_col=args.id_col, emb_col=args.emb_col
+    )
+    drop_ids = np.sort(
+        np.concatenate(
+            [
+                b[args.id_col].to_numpy(zero_copy_only=False)
+                for b in dropped.iter_batches(batch_format="pyarrow", batch_size=None)
+                if b.num_rows
+            ]
+            or [np.array([], dtype=np.int64)]
+        )
+    )
+    ref = ray.put(drop_ids)
+
+    def keep(b: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        if not len(d):
+            return b
+        ids = b[args.id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(d, ids)
+        is_dropped = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == ids)
+        return b.filter(pa.array(~is_dropped))
+
+    kept = ds.map_batches(keep, batch_format="pyarrow")
+    kept.write_parquet(args.output)
+    n = ray.data.read_parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "k": args.k,
+                "threshold": args.threshold,
+                "rows_dropped": int(len(drop_ids)),
+                "rows_out": n,
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_text_stats(args) -> int:
     """Per-document text-quality signals (token counts, quality metrics,
     language ID, repetition, fingerprints) written as parquet."""
@@ -322,9 +380,16 @@ def cmd_text_stats(args) -> int:
         .map_batches(ftext.mean_word_length, batch_format="pyarrow")
         .map_batches(ftext.LangID(), batch_format="pyarrow", concurrency=2)
         .map_batches(ftext.fingerprint, batch_format="pyarrow")
-        .map_batches(
-            lambda b: b.drop_columns(["text"]), batch_format="pyarrow"
-        )
+    )
+    if getattr(args, "logprob", False):
+        # unigram-LM quality score: fit the frequency table on this corpus
+        # (one extra counting pass), then score in-pipeline — the table is
+        # the only thing that touches the driver (vocab-bounded); smoothed
+        # so unseen words stay finite when the fitted table is reused
+        vocab, logp, oov = ftext.unigram_logprob_table(ds, alpha=0.5)
+        out = ftext.unigram_logprob_score(out, vocab, logp, oov, append=True)
+    out = out.map_batches(
+        lambda b: b.drop_columns(["text"]), batch_format="pyarrow"
     )
     out.write_parquet(args.output)
     n = ray.data.read_parquet(args.output).count()
@@ -517,7 +582,23 @@ def main(argv: list[str] | None = None) -> int:
     ts = sub.add_parser("text-stats", help="per-doc quality/lang/repetition signals")
     ts.add_argument("input")
     ts.add_argument("-o", "--output", required=True)
+    ts.add_argument("--logprob", action="store_true",
+                    help="add a unigram-LM quality score fitted on this corpus")
     ts.set_defaults(fn=cmd_text_stats)
+
+    sd = sub.add_parser(
+        "semdedup",
+        help="SemDeDup semantic dedup of an embeddings parquet (drops "
+             "within-cluster cosine near-dups)",
+    )
+    sd.add_argument("input")
+    sd.add_argument("-o", "--output", required=True)
+    sd.add_argument("--threshold", type=float, default=0.9)
+    sd.add_argument("--k", type=int, default=64, help="number of k-means clusters")
+    sd.add_argument("--iters", type=int, default=4, help="Lloyd's iterations")
+    sd.add_argument("--id-col", default="vec_id")
+    sd.add_argument("--emb-col", default="embedding")
+    sd.set_defaults(fn=cmd_semdedup)
 
     dc = sub.add_parser(
         "decontam", help="flag or drop docs sharing word n-grams with a benchmark set"

@@ -269,13 +269,17 @@ def unigram_logprob_score(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    append: bool = False,
 ):
     """Per-document mean unigram log-probability — one streaming pass.
 
     The (vocab, logprob) table is broadcast ONCE via ``ray.put`` and read
     zero-copy in every task; lookup is the Arrow ``index_in`` C kernel over
     the flattened word array, per-doc means by offset-difference over a
-    cumulative sum (robust to empty docs, unlike reduceat)."""
+    cumulative sum (robust to empty docs, unlike reduceat). With
+    ``append=True`` the score rides the input batch as ``unigram_logprob``
+    (pipeline composition); default output is the slim (id, logprob)
+    projection."""
     import ray
 
     ref = ray.put((vocab, logprob.astype(np.float64), float(oov_logprob)))
@@ -296,11 +300,9 @@ def unigram_logprob_score(
         np.cumsum(vals, out=cs[1:])
         sums = cs[offs[1:]] - cs[offs[:-1]]
         n = np.maximum(np.diff(offs), 1)
-        return pa.table(
-            {
-                id_col: b[id_col],
-                "logprob": pa.array(np.round(sums / n, 4)),
-            }
-        )
+        col = pa.array(np.round(sums / n, 4))
+        if append:
+            return b.append_column("unigram_logprob", col)
+        return pa.table({id_col: b[id_col], "logprob": col})
 
     return ds.map_batches(score, batch_format="pyarrow")
