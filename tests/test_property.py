@@ -374,3 +374,36 @@ def test_simhash_combo_guarantee(h, flip_bits):
 
     ba, bb = blocks(a), blocks(b)
     assert any(ba[i] == bb[i] and ba[j] == bb[j] for i, j in _SIMHASH_COMBOS)
+
+
+# ---------------------------------------------------------------------------
+# unigram logprob vs naive per-doc Python
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=20), min_size=1, max_size=6))
+def test_unigram_logprob_matches_naive(texts):
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fastpasta_ray.functions.text import (
+        unigram_logprob_score,
+        unigram_logprob_table,
+    )
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    vocab, logp, oov = unigram_logprob_table(ds)
+    got = {r["doc_id"]: r["logprob"] for r in
+           unigram_logprob_score(ds, vocab, logp, oov).take_all()}
+    # naive: single-space split (including empty words), corpus frequency
+    words = [t.split(" ") for t in texts]
+    freq = Counter(w for ws in words for w in ws)
+    total = sum(freq.values())
+    for i, ws in enumerate(words):
+        want = sum(math.log(freq[w] / total) for w in ws) / max(len(ws), 1)
+        assert abs(got[i] - round(want, 4)) <= 1e-9, (i, got[i], want)
