@@ -192,7 +192,11 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
         load4 = os.getloadavg()[0]
         c4_start = canary_sec()
         runs4: list[float] = []
-        while len(runs4) < 3 or (len(runs4) < 5 and max(runs4) > 1.5 * min(runs4)):
+        # retry trigger 1.3x (the query policy, not the headline's 1.5x):
+        # observed a throttle burst produce [5.79, 5.90, 3.96] — spread
+        # 1.49x, median polluted, no retry. The 4x median is the judged
+        # number; two extra reps are cheap insurance.
+        while len(runs4) < 3 or (len(runs4) < 6 and max(runs4) > 1.3 * min(runs4)):
             t0 = time.perf_counter()
             res4 = run_check(fixture4, cfg=CheckConfig(), manifest_path=man4)
             runs4.append(time.perf_counter() - t0)
