@@ -2039,3 +2039,73 @@ ORACLES["semantic_dedup"] = """
     ORDER BY b.cluster, b.vec_id
 """
 QUERIES["semantic_dedup"] = q_semantic_dedup
+
+
+def q_embedding_stats(sf_dir: str):
+    """Embedding-table validation (the north-star column-stats pass applied
+    to the vector modality): row count, dim min/max (ragged-dim detection),
+    NaN-poisoned row count, norm min/max (catches un-normalized or
+    zero vectors). One streaming pass of per-batch partials, driver merge —
+    the mergeable-sketch pattern, no shuffle."""
+    from fastpasta_ray.functions.similarity import _emb_matrix
+
+    ds = _rp(sf_dir, "embeddings", ["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(b["embedding"]).to_numpy(zero_copy_only=False)
+        m = _emb_matrix(b, "embedding") if len(set(lens)) == 1 else None
+        if m is not None:
+            nan_rows = np.isnan(m).any(axis=1)
+            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        else:  # ragged dims: per-row fallback (violation case, rare)
+            flat = one_chunk(one_chunk(b["embedding"]).flatten()).to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            offs = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            cs = np.zeros(len(flat) + 1); np.cumsum(np.square(flat), out=cs[1:])
+            norms = np.sqrt(cs[offs[1:]] - cs[offs[:-1]])
+            nan_cs = np.zeros(len(flat) + 1); np.cumsum(np.isnan(flat), out=nan_cs[1:])
+            nan_rows = (nan_cs[offs[1:]] - nan_cs[offs[:-1]]) > 0
+        ok = ~nan_rows
+        return pa.table(
+            {
+                "n_vecs": pa.array([len(lens)], type=pa.int64()),
+                "min_dim": pa.array([int(lens.min())], type=pa.int64()),
+                "max_dim": pa.array([int(lens.max())], type=pa.int64()),
+                "n_nan": pa.array([int(nan_rows.sum())], type=pa.int64()),
+                "min_norm": pa.array([float(norms[ok].min()) if ok.any() else np.inf]),
+                "max_norm": pa.array([float(norms[ok].max()) if ok.any() else -np.inf]),
+            }
+        )
+
+    parts = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    return pa.table(
+        {
+            "n_vecs": pa.array([int(pc.sum(parts["n_vecs"]).as_py())], type=pa.int64()),
+            "min_dim": pa.array([int(pc.min(parts["min_dim"]).as_py())], type=pa.int64()),
+            "max_dim": pa.array([int(pc.max(parts["max_dim"]).as_py())], type=pa.int64()),
+            "n_nan": pa.array([int(pc.sum(parts["n_nan"]).as_py())], type=pa.int64()),
+            "min_norm": pa.array([round(pc.min(parts["min_norm"]).as_py(), 4)]),
+            "max_norm": pa.array([round(pc.max(parts["max_norm"]).as_py(), 4)]),
+        }
+    )
+
+
+ORACLES["embedding_stats"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(len(embedding)) AS BIGINT) AS min_dim,
+           CAST(MAX(len(embedding)) AS BIGINT) AS max_dim,
+           CAST(SUM(CASE WHEN isnan(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+           ROUND(MIN(CASE WHEN isnan(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'))
+                          THEN NULL ELSE sqrt(list_dot_product(
+                              CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) END), 4) AS min_norm,
+           ROUND(MAX(CASE WHEN isnan(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'))
+                          THEN NULL ELSE sqrt(list_dot_product(
+                              CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) END), 4) AS max_norm
+    FROM embeddings
+"""
+QUERIES["embedding_stats"] = q_embedding_stats

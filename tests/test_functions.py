@@ -932,3 +932,43 @@ def test_semantic_dedup_planted():
     # oversized cluster: skipped (returns empty), not stalled
     out2 = semantic_dedup(ds, cents, threshold=0.9999, max_cluster_rows=5).take_all()
     assert [r["vec_id"] for r in out2] == []
+
+
+def test_embedding_stats_planted_defects():
+    """q_embedding_stats partial: NaN rows counted and excluded from norm
+    bounds; ragged dims take the per-row fallback and min/max dim differ."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fastpasta_ray.pipelines.queries import q_embedding_stats
+
+    # uniform-dim batch with one NaN row and one unnormalized row
+    tbl = pa.table(
+        {
+            "embedding": pa.array(
+                [[1.0, 0.0], [float("nan"), 1.0], [3.0, 4.0]],
+                type=pa.list_(pa.float32()),
+            )
+        }
+    )
+    import os, tempfile
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    pq.write_table(tbl, os.path.join(d, "embeddings.parquet"))
+    out = q_embedding_stats(d).to_pylist()[0]
+    assert out["n_vecs"] == 3 and out["n_nan"] == 1
+    assert out["min_norm"] == 1.0 and out["max_norm"] == 5.0
+    # ragged dims
+    tbl2 = pa.table(
+        {
+            "embedding": pa.array(
+                [[1.0, 0.0, 0.0], [0.0, 2.0]], type=pa.list_(pa.float32())
+            )
+        }
+    )
+    d2 = tempfile.mkdtemp()
+    pq.write_table(tbl2, os.path.join(d2, "embeddings.parquet"))
+    out2 = q_embedding_stats(d2).to_pylist()[0]
+    assert (out2["min_dim"], out2["max_dim"]) == (2, 3)
+    assert out2["min_norm"] == 1.0 and out2["max_norm"] == 2.0
