@@ -2052,8 +2052,20 @@ def q_embedding_stats(sf_dir: str):
     ds = _rp(sf_dir, "embeddings", ["embedding"])
 
     def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "n_vecs": pa.array([], type=pa.int64()),
+                    "min_dim": pa.array([], type=pa.int64()),
+                    "max_dim": pa.array([], type=pa.int64()),
+                    "n_nan": pa.array([], type=pa.int64()),
+                    "min_norm": pa.array([], type=pa.float64()),
+                    "max_norm": pa.array([], type=pa.float64()),
+                }
+            )
         lens = pc.list_value_length(b["embedding"]).to_numpy(zero_copy_only=False)
-        m = _emb_matrix(b, "embedding") if len(set(lens)) == 1 else None
+        uniform = bool((lens == lens[0]).all())
+        m = _emb_matrix(b, "embedding") if uniform else None
         if m is not None:
             nan_rows = np.isnan(m).any(axis=1)
             norms = np.sqrt(np.einsum("ij,ij->i", m, m))
