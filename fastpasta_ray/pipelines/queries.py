@@ -2121,3 +2121,51 @@ ORACLES["embedding_stats"] = """
     FROM embeddings
 """
 QUERIES["embedding_stats"] = q_embedding_stats
+
+
+def q_curation_pipeline(sf_dir: str):
+    """End-to-end curation composition — the shape of a real pre-training
+    data pass, chained in ONE streaming plan: Gopher-style quality gate
+    (length >= 200 chars, mean word length in [3, 12]) → exact-dedup
+    keep-first (hash-bucketed groupby) → per-source kept counts. Each stage
+    is an existing operator; the point of the query is that they compose
+    without materializing between stages."""
+    from fastpasta_ray.functions.dedup import drop_exact_dups
+    from fastpasta_ray.functions.text import mean_word_length
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
+
+    def gate(b: pa.Table) -> pa.Table:
+        b = mean_word_length(b)
+        mwl = b["mean_word_len"]
+        keep = pc.and_(
+            pc.greater_equal(b["n_chars"], 200),
+            pc.and_(pc.greater_equal(mwl, 3.0), pc.less_equal(mwl, 12.0)),
+        )
+        return b.filter(keep).drop_columns(["mean_word_len"])
+
+    kept = drop_exact_dups(ds.map_batches(gate, batch_format="pyarrow"))
+    t = _to_table(kept.groupby("source").count())
+    t = t.rename_columns(["source", "n_kept"])
+    return t.set_column(
+        t.column_names.index("n_kept"), "n_kept", pc.cast(t["n_kept"], pa.int64())
+    ).sort_by([("source", "ascending")])
+
+
+ORACLES["curation_pipeline"] = """
+    WITH f AS (
+        SELECT *,
+               (LENGTH(text) - (len(string_split(text, ' ')) - 1))
+                   / len(string_split(text, ' ')) AS mwl
+        FROM documents
+        WHERE n_chars >= 200
+    ),
+    g AS (SELECT * FROM f WHERE mwl >= 3.0 AND mwl <= 12.0),
+    d AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM g
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM d WHERE rn = 1 GROUP BY source ORDER BY source
+"""
+QUERIES["curation_pipeline"] = q_curation_pipeline
