@@ -111,8 +111,13 @@ def pack_sequences(
         seg_new = np.r_[True, codes[1:] != codes[:-1]]
         starts = np.flatnonzero(seg_new)
         ends = np.r_[starts[1:], len(codes)]
+        # code -1 = NULL part: its own segment, labeled like the old
+        # str(None) path — never merged with a ''-valued part
         outs = [
-            pack_one(batch.slice(s, e - s), uniques[codes[s]])
+            pack_one(
+                batch.slice(s, e - s),
+                uniques[codes[s]] if codes[s] >= 0 else "None",
+            )
             for s, e in zip(starts, ends)
         ]
         return pa.concat_tables(outs)

@@ -564,8 +564,14 @@ def semantic_dedup(
             }
         )
 
+    # materialize the assignment before the groupby: Ray's sort-based
+    # groupby SAMPLES its input and would re-execute the full-corpus
+    # normalize+matmul assign pass (and the parquet read above it) — the
+    # measured lazy-groupby trap documented in dedup._grouped (code-review
+    # r4). The assigned table is the shuffle input either way.
     return (
         ds.map_batches(assign, batch_format="pyarrow")
+        .materialize()
         .groupby("cluster")
         .map_groups(drop_dups, batch_format="pyarrow")
     )

@@ -174,13 +174,16 @@ def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit document fingerprint (deterministic content hash) — the cheap
-    exact-dup key. Same Arrow-buffer hash as every other string-hash site
-    (sketches.hash_strings: polars SIMD xxhash / segmented-FNV fallback,
-    fixed seed → stable across processes within one job); the last
-    pd.util.hash_array object-array site migrated in round 4."""
-    from fastpasta_ray.sketches import hash_strings
+    exact-dup key. Fingerprints are PERSISTED (text-stats writes them as
+    parquet) and compared across runs/nodes, so this deliberately uses the
+    environment-independent segmented-FNV buffer hash, NOT hash_strings'
+    polars fast path (whose values depend on polars availability/version —
+    fine for in-job hashing, wrong for a persisted key; code-review r4).
+    Still fully vectorized over the Arrow string buffer."""
+    from fastpasta_ray.sketches import _hash_byte_rows, utf8_parts
 
-    h = hash_strings(batch[text_col])
+    data, lens = utf8_parts(batch[text_col])
+    h = _hash_byte_rows(data, lens)
     return batch.append_column("fingerprint", pa.array(h.astype(np.uint64)))
 
 
@@ -224,8 +227,13 @@ def unigram_logprob_table(
             }
         )
 
+    # materialize the (small, distinct-words-per-block) partials before the
+    # groupby: Ray's sort-based groupby SAMPLES its input, re-executing a
+    # lazy upstream — the full tokenize+value_counts pass would run TWICE
+    # (the measured trap documented in dedup._grouped; code-review r4)
     freq = (
         ds.map_batches(partial, batch_format="pyarrow")
+        .materialize()
         .groupby("word")
         .aggregate(Sum("cnt", alias_name="c"))
     )
@@ -256,9 +264,7 @@ def unigram_logprob_table(
     oov = float(np.log(alpha / denom)) if alpha > 0 and denom > 0 else float(
         logp.min() - np.log(10.0) if len(logp) else -np.inf
     )
-    from fastpasta_ray.sketches import one_chunk as _oc
-
-    return _oc(t["word"]), logp, oov
+    return one_chunk(t["word"]), logp, oov
 
 
 def unigram_logprob_score(
@@ -273,27 +279,46 @@ def unigram_logprob_score(
 ):
     """Per-document mean unigram log-probability — one streaming pass.
 
-    The (vocab, logprob) table is broadcast ONCE via ``ray.put`` and read
-    zero-copy in every task; lookup is the Arrow ``index_in`` C kernel over
-    the flattened word array, per-doc means by offset-difference over a
-    cumulative sum (robust to empty docs, unlike reduceat). With
-    ``append=True`` the score rides the input batch as ``unigram_logprob``
-    (pipeline composition); default output is the slim (id, logprob)
-    projection."""
+    The lookup table is prepared ONCE at broadcast time: vocab words are
+    hashed (in-job Arrow-buffer hash) and sorted, so each task does a
+    vectorized hash + ``searchsorted`` per batch instead of rebuilding an
+    Arrow ``index_in`` hash table over the (up to max_vocab-entry) vocab
+    for every batch (code-review r4). A 64-bit collision between two
+    distinct vocab words would alias their logprobs — probability ~1e-6 at
+    5M words, and audited with a logged warning at fit time. Per-doc means
+    by offset-difference over a cumulative sum (robust to empty docs,
+    unlike reduceat). With ``append=True`` the score rides the input batch
+    as ``unigram_logprob`` (pipeline composition); default output is the
+    slim (id, logprob) projection."""
     import ray
 
-    ref = ray.put((vocab, logprob.astype(np.float64), float(oov_logprob)))
+    from fastpasta_ray.sketches import hash_strings
+
+    h = hash_strings(vocab)
+    order = np.argsort(h, kind="stable")
+    hs, lps = h[order], logprob.astype(np.float64)[order]
+    n_coll = int((hs[1:] == hs[:-1]).sum()) if len(hs) else 0
+    if n_coll:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "unigram_logprob_score: %d vocab hash collisions (aliased logprobs)",
+            n_coll,
+        )
+    ref = ray.put((hs, lps, float(oov_logprob)))
 
     def score(b: pa.Table) -> pa.Table:
-        from fastpasta_ray.sketches import one_chunk
+        from fastpasta_ray.sketches import hash_strings, one_chunk
 
-        v, lp, oov = ray.get(ref)
+        hs_, lps_, oov = ray.get(ref)
         toks = one_chunk(pc.split_pattern(pc.fill_null(b[text_col], ""), " "))
         flat = one_chunk(toks.flatten())
-        idx = pc.fill_null(pc.index_in(flat, value_set=v), -1).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        vals = np.where(idx >= 0, lp[np.maximum(idx, 0)], oov)
+        if len(hs_) == 0:
+            vals = np.full(len(flat), oov)
+        else:
+            wh = hash_strings(flat)
+            pos = np.minimum(np.searchsorted(hs_, wh), len(hs_) - 1)
+            vals = np.where(hs_[pos] == wh, lps_[pos], oov)
         offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         offs = offs - offs[0]  # slice offset safety
         cs = np.zeros(len(vals) + 1, dtype=np.float64)

@@ -2043,34 +2043,48 @@ QUERIES["semantic_dedup"] = q_semantic_dedup
 
 def q_embedding_stats(sf_dir: str):
     """Embedding-table validation (the north-star column-stats pass applied
-    to the vector modality): row count, dim min/max (ragged-dim detection),
-    NaN-poisoned row count, norm min/max (catches un-normalized or
-    zero vectors). One streaming pass of per-batch partials, driver merge —
+    to the vector modality): row count, NULL rows, dim min/max (ragged-dim
+    detection), NaN-poisoned row count, norm min/max (catches un-normalized
+    or zero vectors). A validation query must SURVIVE the defects it
+    reports (code-review r4): null rows are counted (not crashed on), dim
+    and norm stats cover the non-null rows, NaN rows are excluded from the
+    norm bounds. One streaming pass of per-batch partials, driver merge —
     the mergeable-sketch pattern, no shuffle."""
     from fastpasta_ray.functions.similarity import _emb_matrix
 
     ds = _rp(sf_dir, "embeddings", ["embedding"])
 
     def partial(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
+        def row(n_vecs, n_null, min_dim, max_dim, n_nan, min_norm, max_norm):
             return pa.table(
                 {
-                    "n_vecs": pa.array([], type=pa.int64()),
-                    "min_dim": pa.array([], type=pa.int64()),
-                    "max_dim": pa.array([], type=pa.int64()),
-                    "n_nan": pa.array([], type=pa.int64()),
-                    "min_norm": pa.array([], type=pa.float64()),
-                    "max_norm": pa.array([], type=pa.float64()),
+                    "n_vecs": pa.array([n_vecs], type=pa.int64()),
+                    "n_null": pa.array([n_null], type=pa.int64()),
+                    "min_dim": pa.array([min_dim], type=pa.int64()),
+                    "max_dim": pa.array([max_dim], type=pa.int64()),
+                    "n_nan": pa.array([n_nan], type=pa.int64()),
+                    "min_norm": pa.array([min_norm], type=pa.float64()),
+                    "max_norm": pa.array([max_norm], type=pa.float64()),
                 }
             )
-        lens = pc.list_value_length(b["embedding"]).to_numpy(zero_copy_only=False)
-        uniform = bool((lens == lens[0]).all())
-        m = _emb_matrix(b, "embedding") if uniform else None
+
+        if b.num_rows == 0:
+            return row(0, 0, None, None, 0, None, None)
+        col = one_chunk(b["embedding"])
+        n_null = int(col.null_count)
+        sub = b.filter(pc.is_valid(col)) if n_null else b
+        if sub.num_rows == 0:  # all-null batch: still a valid partial
+            return row(b.num_rows, n_null, None, None, 0, None, None)
+        lens = pc.list_value_length(sub["embedding"]).to_numpy(zero_copy_only=False)
+        # uniform fast path needs equal AND non-zero dims (reshape(n, -1)
+        # cannot infer a axis from a size-0 flat array)
+        uniform = bool((lens == lens[0]).all()) and int(lens[0]) > 0
+        m = _emb_matrix(sub, "embedding") if uniform else None
         if m is not None:
             nan_rows = np.isnan(m).any(axis=1)
             norms = np.sqrt(np.einsum("ij,ij->i", m, m))
-        else:  # ragged dims: per-row fallback (violation case, rare)
-            flat = one_chunk(one_chunk(b["embedding"]).flatten()).to_numpy(
+        else:  # ragged/zero dims: per-row fallback (violation case, rare)
+            flat = one_chunk(one_chunk(sub["embedding"]).flatten()).to_numpy(
                 zero_copy_only=False
             ).astype(np.float64)
             offs = np.zeros(len(lens) + 1, dtype=np.int64)
@@ -2080,41 +2094,57 @@ def q_embedding_stats(sf_dir: str):
             nan_cs = np.zeros(len(flat) + 1); np.cumsum(np.isnan(flat), out=nan_cs[1:])
             nan_rows = (nan_cs[offs[1:]] - nan_cs[offs[:-1]]) > 0
         ok = ~nan_rows
-        return pa.table(
-            {
-                "n_vecs": pa.array([len(lens)], type=pa.int64()),
-                "min_dim": pa.array([int(lens.min())], type=pa.int64()),
-                "max_dim": pa.array([int(lens.max())], type=pa.int64()),
-                "n_nan": pa.array([int(nan_rows.sum())], type=pa.int64()),
-                "min_norm": pa.array([float(norms[ok].min()) if ok.any() else np.inf]),
-                "max_norm": pa.array([float(norms[ok].max()) if ok.any() else -np.inf]),
-            }
+        return row(
+            b.num_rows,
+            n_null,
+            int(lens.min()),
+            int(lens.max()),
+            int(nan_rows.sum()),
+            float(norms[ok].min()) if ok.any() else None,
+            float(norms[ok].max()) if ok.any() else None,
         )
 
     parts = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+
+    def agg(fn, col, cast=None):
+        v = fn(parts[col]).as_py()
+        if v is None:
+            return None
+        return cast(v) if cast else v
+
     return pa.table(
         {
-            "n_vecs": pa.array([int(pc.sum(parts["n_vecs"]).as_py())], type=pa.int64()),
-            "min_dim": pa.array([int(pc.min(parts["min_dim"]).as_py())], type=pa.int64()),
-            "max_dim": pa.array([int(pc.max(parts["max_dim"]).as_py())], type=pa.int64()),
-            "n_nan": pa.array([int(pc.sum(parts["n_nan"]).as_py())], type=pa.int64()),
-            "min_norm": pa.array([round(pc.min(parts["min_norm"]).as_py(), 4)]),
-            "max_norm": pa.array([round(pc.max(parts["max_norm"]).as_py(), 4)]),
+            "n_vecs": pa.array([agg(pc.sum, "n_vecs", int)], type=pa.int64()),
+            "n_null": pa.array([agg(pc.sum, "n_null", int)], type=pa.int64()),
+            "min_dim": pa.array([agg(pc.min, "min_dim", int)], type=pa.int64()),
+            "max_dim": pa.array([agg(pc.max, "max_dim", int)], type=pa.int64()),
+            "n_nan": pa.array([agg(pc.sum, "n_nan", int)], type=pa.int64()),
+            "min_norm": pa.array(
+                [agg(pc.min, "min_norm", lambda v: round(v, 4))], type=pa.float64()
+            ),
+            "max_norm": pa.array(
+                [agg(pc.max, "max_norm", lambda v: round(v, 4))], type=pa.float64()
+            ),
         }
     )
 
 
 ORACLES["embedding_stats"] = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
            CAST(MIN(len(embedding)) AS BIGINT) AS min_dim,
            CAST(MAX(len(embedding)) AS BIGINT) AS max_dim,
-           CAST(SUM(CASE WHEN isnan(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'))
+           CAST(SUM(CASE WHEN embedding IS NOT NULL
+                          AND isnan(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'))
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
-           ROUND(MIN(CASE WHEN isnan(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'))
+           ROUND(MIN(CASE WHEN embedding IS NULL
+                            OR isnan(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'))
                           THEN NULL ELSE sqrt(list_dot_product(
                               CAST(embedding AS DOUBLE[]),
                               CAST(embedding AS DOUBLE[]))) END), 4) AS min_norm,
-           ROUND(MAX(CASE WHEN isnan(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'))
+           ROUND(MAX(CASE WHEN embedding IS NULL
+                            OR isnan(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'))
                           THEN NULL ELSE sqrt(list_dot_product(
                               CAST(embedding AS DOUBLE[]),
                               CAST(embedding AS DOUBLE[]))) END), 4) AS max_norm

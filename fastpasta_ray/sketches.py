@@ -85,10 +85,14 @@ def group_codes(col) -> tuple[np.ndarray, list[str]]:
     Dictionary-encode once, then group masks are numeric ``codes == k``
     comparisons — no per-row Python objects and no O(rows × groups)
     object-array equality (the ``np.asarray(to_pylist, dtype=object)``
-    pattern this replaces). Nulls group under ''."""
-    a = one_chunk(pc.fill_null(one_chunk(col), ""))
+    pattern this replaces). NULL rows get code -1 (their own group, never
+    merged with '' — code-review r4); callers iterating ``enumerate(
+    uniques)`` therefore skip null rows unless they handle -1 explicitly."""
+    a = one_chunk(col)
     enc = a.dictionary_encode()
-    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
     return codes, [str(u) for u in enc.dictionary.to_pylist()]
 
 

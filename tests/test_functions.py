@@ -946,7 +946,7 @@ def test_embedding_stats_planted_defects():
     tbl = pa.table(
         {
             "embedding": pa.array(
-                [[1.0, 0.0], [float("nan"), 1.0], [3.0, 4.0]],
+                [[1.0, 0.0], [float("nan"), 1.0], [3.0, 4.0], None],
                 type=pa.list_(pa.float32()),
             )
         }
@@ -957,18 +957,18 @@ def test_embedding_stats_planted_defects():
     d = tempfile.mkdtemp()
     pq.write_table(tbl, os.path.join(d, "embeddings.parquet"))
     out = q_embedding_stats(d).to_pylist()[0]
-    assert out["n_vecs"] == 3 and out["n_nan"] == 1
+    assert out["n_vecs"] == 4 and out["n_nan"] == 1 and out["n_null"] == 1
     assert out["min_norm"] == 1.0 and out["max_norm"] == 5.0
-    # ragged dims
+    # ragged dims incl. an empty-list row (dim 0, norm 0)
     tbl2 = pa.table(
         {
             "embedding": pa.array(
-                [[1.0, 0.0, 0.0], [0.0, 2.0]], type=pa.list_(pa.float32())
+                [[1.0, 0.0, 0.0], [0.0, 2.0], []], type=pa.list_(pa.float32())
             )
         }
     )
     d2 = tempfile.mkdtemp()
     pq.write_table(tbl2, os.path.join(d2, "embeddings.parquet"))
     out2 = q_embedding_stats(d2).to_pylist()[0]
-    assert (out2["min_dim"], out2["max_dim"]) == (2, 3)
-    assert out2["min_norm"] == 1.0 and out2["max_norm"] == 2.0
+    assert (out2["min_dim"], out2["max_dim"]) == (0, 3)
+    assert out2["min_norm"] == 0.0 and out2["max_norm"] == 2.0
