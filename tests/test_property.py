@@ -407,3 +407,53 @@ def test_unigram_logprob_matches_naive(texts):
     for i, ws in enumerate(words):
         want = sum(math.log(freq[w] / total) for w in ws) / max(len(ws), 1)
         assert abs(got[i] - round(want, 4)) <= 1e-9, (i, got[i], want)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup blocked strip kernel vs naive O(n^2) keep-first rule
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(2, 40),
+    st.integers(1, 7),
+    st.integers(0, 10**6),
+)
+def test_semantic_dedup_blocked_kernel_matches_naive(n, block, seed):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fastpasta_ray.functions.similarity import _normalize, semantic_dedup
+
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, 6))
+    ids = rng.permutation(n) * 3 + 1  # non-contiguous, shuffled ids
+    thr = 0.6
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in m], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    # one centroid -> everything in one cluster, kernel fully exercised
+    got = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            ds, m[:1], threshold=thr, block=block
+        ).take_all()
+    )
+    # naive: float32-roundtripped vectors, any lower-id neighbor >= thr
+    mf = _normalize(m.astype(np.float32).astype(np.float64))
+    order = np.argsort(ids)
+    ms, ids_s = mf[order], ids[order]
+    sims = ms @ ms.T
+    want = sorted(
+        int(ids_s[i])
+        for i in range(n)
+        if (sims[i, :i] >= thr).any()
+    )
+    assert got == want
