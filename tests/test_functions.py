@@ -972,3 +972,50 @@ def test_embedding_stats_planted_defects():
     out2 = q_embedding_stats(d2).to_pylist()[0]
     assert (out2["min_dim"], out2["max_dim"]) == (0, 3)
     assert out2["min_norm"] == 0.0 and out2["max_norm"] == 2.0
+
+
+def test_cli_semdedup_and_logprob(tmp_path):
+    """CLI surface for the late-r4 ops: semdedup survivors written + drop
+    accounting; text-stats --logprob appends the fitted unigram score."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastpasta_ray.cli import main
+
+    # embeddings: pairs of identical vectors -> one of each pair dropped
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(6, 8))
+    emb = np.repeat(base, 2, axis=0)  # 12 rows, 6 dup pairs
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(12), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in emb], type=pa.list_(pa.float32())
+                ),
+            }
+        ),
+        src,
+    )
+    out = str(tmp_path / "kept_emb")
+    assert main(
+        ["semdedup", src, "-o", out, "--k", "3", "--threshold", "0.9999"]
+    ) == 0
+    kept = pa.concat_tables([pq.read_table(f) for f in glob.glob(out + "/*.parquet")])
+    assert kept.num_rows == 6  # one of each identical pair survives
+    # every even id (first of each repeat pair) survives
+    assert sorted(kept["vec_id"].to_pylist()) == [0, 2, 4, 6, 8, 10]
+
+    docs = str(tmp_path / "docs2.parquet")
+    pq.write_table(docs_table(["aa bb aa", "aa", "cc dd"]), docs)
+    out2 = str(tmp_path / "stats")
+    assert main(["text-stats", docs, "-o", out2, "--logprob"]) == 0
+    st = pa.concat_tables([pq.read_table(f) for f in glob.glob(out2 + "/*.parquet")])
+    assert "unigram_logprob" in st.column_names
+    lp = dict(zip(st["doc_id"].to_pylist(), st["unigram_logprob"].to_pylist()))
+    # 'aa' is the most frequent word -> doc 1 (just 'aa') scores highest
+    assert lp[1] == max(lp.values())
