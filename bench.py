@@ -245,6 +245,8 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
             "mixture_sample",
             "kmeans_assign",
             "semantic_dedup",
+            "embedding_stats",
+            "curation_pipeline",
         ):
             reps: list[float] = []
             while len(reps) < 2 or (
