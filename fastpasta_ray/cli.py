@@ -305,6 +305,50 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_compare_stats(args) -> int:
+    """Offline diff of two stats snapshots (no corpus scan, no Ray session):
+    the reference compares a fresh run vs --input-stats-file; this compares
+    two already-written files — 'did yesterday's profile drift from last
+    week's?' without touching the data. Exact field-by-field mismatches
+    (E9002 analog) plus PSI/KS distances between the two n_tok histograms
+    and source mixes. Exit 1 on any mismatch or distance over threshold."""
+    import numpy as np
+
+    from fastpasta_ray.checks.drift import (
+        DEFAULT_EDGES,
+        _mix_vector,
+        compare_profiles,
+        ks,
+        psi,
+    )
+    from fastpasta_ray.pipelines.check import load_stats_profile
+    from fastpasta_ray.sketches import IntHistogram
+
+    obs = load_stats_profile(args.observed)
+    ref = load_stats_profile(args.reference)
+    msgs = compare_profiles(obs, ref)
+    out: dict = {"n_field_mismatches": len(msgs), "messages": msgs[:50]}
+    drifted = False
+    if "n_tok_hist" in obs and "n_tok_hist" in ref:
+        ho = IntHistogram.from_json(obs["n_tok_hist"]).normalized(DEFAULT_EDGES)
+        hr = IntHistogram.from_json(ref["n_tok_hist"]).normalized(DEFAULT_EDGES)
+        out["ntok_psi"] = round(float(psi(ho, hr)), 6)
+        out["ntok_ks"] = round(float(ks(ho, hr)), 6)
+        drifted |= out["ntok_psi"] > args.psi_threshold
+        drifted |= out["ntok_ks"] > args.ks_threshold
+    so, sr = obs.get("source_histogram"), ref.get("source_histogram")
+    if so is not None and sr is not None:
+        keys = sorted(set(so) | set(sr))
+        mo, mr = _mix_vector(so, keys), _mix_vector(sr, keys)
+        tot_o, tot_r = mo.sum(), mr.sum()
+        if tot_o > 0 and tot_r > 0:
+            out["source_mix_psi"] = round(float(psi(mo / tot_o, mr / tot_r)), 6)
+            drifted |= out["source_mix_psi"] > args.psi_threshold
+    out["drifted"] = bool(drifted)
+    print(json.dumps(out, indent=2))
+    return 1 if (msgs or drifted) else 0
+
+
 def cmd_semdedup(args) -> int:
     """SemDeDup over an embeddings parquet: fit k-means, drop within-cluster
     cosine near-dups (keep-first), write the SURVIVING rows as parquet and
@@ -585,6 +629,17 @@ def main(argv: list[str] | None = None) -> int:
     ts.add_argument("--logprob", action="store_true",
                     help="add a unigram-LM quality score fitted on this corpus")
     ts.set_defaults(fn=cmd_text_stats)
+
+    cs = sub.add_parser(
+        "compare-stats",
+        help="offline diff of two stats snapshots (exact fields + PSI/KS); "
+             "no corpus scan, no Ray",
+    )
+    cs.add_argument("observed", help="snapshot to judge (JSON or TOML)")
+    cs.add_argument("reference", help="snapshot to judge against")
+    cs.add_argument("--psi-threshold", type=float, default=0.2)
+    cs.add_argument("--ks-threshold", type=float, default=0.15)
+    cs.set_defaults(fn=cmd_compare_stats)
 
     sd = sub.add_parser(
         "semdedup",

@@ -1019,3 +1019,28 @@ def test_cli_semdedup_and_logprob(tmp_path):
     lp = dict(zip(st["doc_id"].to_pylist(), st["unigram_logprob"].to_pylist()))
     # 'aa' is the most frequent word -> doc 1 (just 'aa') scores highest
     assert lp[1] == max(lp.values())
+
+
+def test_cli_compare_stats(tmp_path):
+    """Offline snapshot diff: identical snapshots exit 0; a doctored
+    profile trips exact-field mismatches and exits 1; TOML/JSON mix works;
+    runs without any corpus access."""
+    import json
+
+    from fastpasta_ray.cli import main
+    from fastpasta_ray.synth import SynthSpec, write_fixture
+
+    d = str(tmp_path / "fx")
+    write_fixture(d, SynthSpec(n_rows=400, n_parts=2))
+    a = str(tmp_path / "a.json")
+    t = str(tmp_path / "a.toml")
+    assert main(["check", d, "--output-stats", a]) == 0
+    assert main(["check", d, "--output-stats", t]) == 0
+    # identical content, cross-format
+    assert main(["compare-stats", a, t]) == 0
+    # doctor one exact field
+    snap = json.load(open(a))
+    snap["profile"]["row_count"] = snap["profile"]["row_count"] + 1
+    b = str(tmp_path / "b.json")
+    json.dump(snap, open(b, "w"))
+    assert main(["compare-stats", a, b]) == 1
