@@ -2199,3 +2199,50 @@ ORACLES["curation_pipeline"] = """
     FROM d WHERE rn = 1 GROUP BY source ORDER BY source
 """
 QUERIES["curation_pipeline"] = q_curation_pipeline
+
+
+def q_budget_trim(sf_dir: str):
+    """Per-source data-budget curation: keep documents in deterministic
+    (doc_id) order until each source's cumulative n_chars budget is
+    reached — the 'sample N tokens per domain' step of corpus assembly.
+    One groupby co-locates each source; inside a group it's a sort +
+    cumulative sum (vectorized). Per-source group size bounds the memory;
+    sources far larger than a worker would pre-trim with a hash-sample
+    pass first (documented partitioning assumption)."""
+    budget = 5_000
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def trim(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        nch = g["n_chars"].to_numpy(zero_copy_only=False)[order]
+        keep = np.cumsum(nch) <= budget
+        n = int(keep.sum())
+        return pa.table(
+            {
+                "source": pa.array([g["source"][0].as_py()]),
+                "n_docs": pa.array([n], type=pa.int64()),
+                "n_chars_kept": pa.array([int(nch[:n].sum())], type=pa.int64()),
+            }
+        )
+
+    out = (
+        ds.groupby("source")
+        .map_groups(trim, batch_format="pyarrow")
+    )
+    return _to_table(out).sort_by([("source", "ascending")])
+
+
+ORACLES["budget_trim"] = """
+    WITH c AS (
+        SELECT source, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_kept
+    FROM c WHERE cum <= 5000
+    GROUP BY source ORDER BY source
+"""
+QUERIES["budget_trim"] = q_budget_trim
