@@ -1044,3 +1044,29 @@ def test_cli_compare_stats(tmp_path):
     b = str(tmp_path / "b.json")
     json.dump(snap, open(b, "w"))
     assert main(["compare-stats", a, b]) == 1
+
+
+def test_unigram_layout_independence():
+    """unigram scores must not depend on block layout: the frequency fit is
+    a commutative sum and the lookup table is sorted, so 1-block and
+    4-block inputs give identical scores."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fastpasta_ray.functions.text import (
+        unigram_logprob_score,
+        unigram_logprob_table,
+    )
+
+    texts = [f"w{i % 7} w{i % 3} common" for i in range(40)]
+    t = pa.table({"doc_id": list(range(40)), "text": texts})
+
+    def scores(n_blocks):
+        ds = rd.from_arrow(t).repartition(n_blocks)
+        vocab, logp, oov = unigram_logprob_table(ds)
+        return {
+            r["doc_id"]: r["logprob"]
+            for r in unigram_logprob_score(ds, vocab, logp, oov).take_all()
+        }
+
+    assert scores(1) == scores(4)
