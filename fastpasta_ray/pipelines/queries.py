@@ -2246,3 +2246,57 @@ ORACLES["budget_trim"] = """
     GROUP BY source ORDER BY source
 """
 QUERIES["budget_trim"] = q_budget_trim
+
+
+def q_top_docs_per_source(sf_dir: str):
+    """Grouped top-k (top 3 docs by n_chars per source) — the per-domain
+    'best documents' selection. Scale shape: each batch emits its own
+    per-source top-3 partial (vectorized lexsort, no shuffle of full rows),
+    the driver reduces the tiny (3 × sources × blocks) candidate set.
+    Ties break to the lowest doc_id, mirrored in the oracle."""
+    k = 3
+    ds = _rp(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        from fastpasta_ray.sketches import group_codes
+
+        codes, uniques = group_codes(b["source"])
+        nch = b["n_chars"].to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        # per-source rank via one lexsort: (source, -n_chars, doc_id)
+        order = np.lexsort((ids, -nch, codes))
+        cs = codes[order]
+        run_start = np.r_[True, cs[1:] != cs[:-1]]
+        starts = np.flatnonzero(run_start)
+        rank = np.arange(len(cs)) - np.repeat(starts, np.diff(np.r_[starts, len(cs)]))
+        keep = order[rank < k]
+        return b.select(["doc_id", "source", "n_chars"]).take(pa.array(np.sort(keep)))
+
+    cand = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    # final reduce over the small candidate set (3 x sources x blocks rows)
+    import pandas as pd
+
+    df = cand.to_pandas().sort_values(
+        ["source", "n_chars", "doc_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    df = df.groupby("source", sort=True).head(k).reset_index(drop=True)
+    return pa.table(
+        {
+            "source": pa.array(df["source"]),
+            "doc_id": pa.array(df["doc_id"].astype("int64")),
+            "n_chars": pa.array(df["n_chars"].astype("int64")),
+        }
+    )
+
+
+ORACLES["top_docs_per_source"] = """
+    SELECT source, doc_id, n_chars FROM (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 3
+    ORDER BY source, n_chars DESC, doc_id
+"""
+QUERIES["top_docs_per_source"] = q_top_docs_per_source
