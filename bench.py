@@ -247,6 +247,8 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
             "semantic_dedup",
             "embedding_stats",
             "curation_pipeline",
+            "budget_trim",
+            "top_docs_per_source",
         ):
             reps: list[float] = []
             while len(reps) < 2 or (
