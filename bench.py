@@ -67,6 +67,63 @@ def wait_for_quiet(num_cpus: int, max_wait: float) -> float:
     return round(time.monotonic() - start, 1)
 
 
+def median(xs: list[float]) -> float:
+    """Conventional median: mean of the two middle values for even n
+    (VERDICT r4: sorted(xs)[n//2] reported the UPPER median — the judged
+    number must not depend on rep-count parity)."""
+    s = sorted(xs)
+    n = len(s)
+    mid = n // 2
+    return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+
+def timed_reps(
+    fn,
+    *,
+    min_reps: int = 3,
+    max_reps: int = 6,
+    spread: float = 1.3,
+) -> dict:
+    """Run ``fn`` repeatedly with each rep BRACKETED by single-thread canary
+    probes; reps whose bracketing canaries exceed 1.5x the cleanest canary
+    seen (floor 0.45 s) are kept in telemetry but EXCLUDED from best/median
+    (VERDICT r4 #1: the judged median must come from clean-window reps —
+    this host throttles the VM in bursts invisible to loadavg). Falls back
+    to all reps if the whole window was hostile (canary_gated=false)."""
+    runs: list[float] = []
+    clean: list[float] = []
+    discarded: list[float] = []
+    canaries: list[float] = [canary_sec()]
+    result = None
+    while len(runs) < max_reps and (
+        len(clean) < min_reps
+        or (clean and max(clean) > spread * min(clean) and len(runs) < max_reps)
+    ):
+        c_pre = canaries[-1]
+        t0 = time.perf_counter()
+        result = fn()
+        dt = time.perf_counter() - t0
+        canaries.append(canary_sec())
+        runs.append(dt)
+        gate = max(0.45, 1.5 * min(canaries))
+        if max(c_pre, canaries[-1]) <= gate:
+            clean.append(dt)
+        else:
+            discarded.append(dt)
+    gated = bool(clean)
+    use = clean if gated else runs
+    return {
+        "best": min(use),
+        "median": median(use),
+        "runs": runs,
+        "clean_runs": clean,
+        "discarded_runs": discarded,
+        "canaries": [round(c, 3) for c in canaries],
+        "canary_gated": gated,
+        "result": result,
+    }
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -139,29 +196,21 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
         num_cpus, float(os.environ.get("FP_BENCH_MAX_WAIT", "240"))
     )
     load_start = os.getloadavg()[0]
-    canary_start = canary_sec()
-    runs = []
-    for _ in range(3):  # best-of-3 steady-state runs (hyperfine-style; this
-        # shared box drifts ±15%-2x with background load — see BASELINE.md)
-        t0 = time.perf_counter()
-        res = run_check(
+    hd = timed_reps(
+        lambda: run_check(
             fixture,
             cfg=CheckConfig(),
             manifest_path=os.path.join(fixture, "_manifest.parquet"),
-        )
-        runs.append(time.perf_counter() - t0)
-    while len(runs) < 5 and max(runs) > 1.5 * min(runs):
-        # wide spread = a load spike hit one of the reps; two extra reps
-        # give the best/median a chance to be taken from a clean window
-        t0 = time.perf_counter()
-        res = run_check(
-            fixture,
-            cfg=CheckConfig(),
-            manifest_path=os.path.join(fixture, "_manifest.parquet"),
-        )
-        runs.append(time.perf_counter() - t0)
-    t_check = min(runs)
-    t_check_median = sorted(runs)[len(runs) // 2]
+        ),
+        min_reps=3,
+        max_reps=5,
+        spread=1.5,
+    )
+    res = hd["result"]
+    runs = hd["runs"]
+    canary_start = hd["canaries"][0]
+    t_check = hd["best"]
+    t_check_median = hd["median"]
     timings["check_all"] = round(t_check, 3)
     rows = res.report["total_rows"]
     tokens = res.report["total_tokens"]
@@ -190,30 +239,34 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
         run_check(fixture4, cfg=CheckConfig(), manifest_path=man4)  # warm: pool + page cache
         waited4 = wait_for_quiet(num_cpus, min(120.0, float(os.environ.get("FP_BENCH_MAX_WAIT", "240"))))
         load4 = os.getloadavg()[0]
-        c4_start = canary_sec()
-        runs4: list[float] = []
-        # retry trigger 1.3x (the query policy, not the headline's 1.5x):
-        # observed a throttle burst produce [5.79, 5.90, 3.96] — spread
-        # 1.49x, median polluted, no retry. The 4x median is the judged
-        # number; two extra reps are cheap insurance.
-        while len(runs4) < 3 or (len(runs4) < 6 and max(runs4) > 1.3 * min(runs4)):
-            t0 = time.perf_counter()
-            res4 = run_check(fixture4, cfg=CheckConfig(), manifest_path=man4)
-            runs4.append(time.perf_counter() - t0)
-        best4 = min(runs4)
+        # the 4x median is THE judged number (VERDICT r4 #1): canary-gated
+        # reps (throttle-burst reps excluded from best/median, kept in the
+        # runs telemetry) + conventional even-n median via timed_reps
+        h4 = timed_reps(
+            lambda: run_check(fixture4, cfg=CheckConfig(), manifest_path=man4),
+            min_reps=3,
+            max_reps=6,
+            spread=1.3,
+        )
+        res4 = h4["result"]
+        best4 = h4["best"]
         rows4 = res4.report["total_rows"]
         tokens4 = res4.report["total_tokens"]
         check_all_4x = {
             "best_sec": round(best4, 3),
-            "median_sec": round(sorted(runs4)[len(runs4) // 2], 3),
-            "runs": [round(r, 3) for r in runs4],
+            "median_sec": round(h4["median"], 3),
+            "runs": [round(r, 3) for r in h4["runs"]],
+            "clean_runs": [round(r, 3) for r in h4["clean_runs"]],
+            "discarded_runs": [round(r, 3) for r in h4["discarded_runs"]],
+            "canary_gated": h4["canary_gated"],
             "rows": rows4,
             "tokens": tokens4,
             "sequences_per_sec": round(rows4 / best4, 1),
             "payload_gb_per_sec": round(tokens4 * 4 / best4 / 1e9, 3),
             "violations": res4.report["violations_total"],
-            "canary_sec_start": round(c4_start, 3),
-            "canary_sec_end": round(canary_sec(), 3),
+            "canaries_sec": h4["canaries"],
+            "canary_sec_start": h4["canaries"][0],
+            "canary_sec_end": h4["canaries"][-1],
             "load_avg_start": round(load4, 2),
             "quiet_wait_sec": waited4,
         }

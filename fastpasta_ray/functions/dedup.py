@@ -1059,7 +1059,26 @@ def simhash_near_dups(
     pairs = _grouped(keys_ds, "bucket", verify, as_table=(not aggregate and as_table))
     if not aggregate:
         return pairs
-    return pairs.groupby(["doc_a", "doc_b"]).min("hamming")
+    agg = pairs.groupby(["doc_a", "doc_b"]).min("hamming")
+    if as_table:
+        # honor the contract: as_table=True returns a pa.Table regardless
+        # of aggregate (ADVICE r4: this combination silently returned a
+        # Dataset). The aggregated pair set is small (capped buckets).
+        parts = [
+            t
+            for t in agg.iter_batches(batch_format="pyarrow", batch_size=None)
+            if t.num_rows
+        ]
+        if parts:
+            return pa.concat_tables(parts)
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "min(hamming)": pa.array([], type=pa.int64()),
+            }
+        )
+    return agg
 
 
 # ---------------------------------------------------------------------------

@@ -744,7 +744,7 @@ def q_nchars_quantiles(sf_dir: str):
 
         from fastpasta_ray.sketches import group_codes
 
-        codes, uniques = group_codes(b["source"])
+        codes, uniques = group_codes(b["source"], include_null=True)
         nch = b["n_chars"].to_numpy(zero_copy_only=False)
         rows = {"source": [], "hist": []}
         for k, s in enumerate(uniques):
@@ -762,7 +762,8 @@ def q_nchars_quantiles(sf_dir: str):
         h = IntHistogram.from_json(_json.loads(hj))
         merged[s] = merged[s].merge(h) if s in merged else h
     rows = {"source": [], "p25": [], "p50": [], "p75": [], "p99": []}
-    for s in sorted(merged):
+    # NULL source sorts last (DuckDB ASC default NULLS LAST)
+    for s in sorted(merged, key=lambda s: (s is None, s or "")):
         rows["source"].append(s)
         for q, k in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.99, "p99")):
             rows[k].append(merged[s].quantile(q))
@@ -1264,7 +1265,7 @@ def q_value_quantiles_tdigest(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         from fastpasta_ray.sketches import group_codes
 
-        codes, uniques = group_codes(b["event_type"])
+        codes, uniques = group_codes(b["event_type"], include_null=True)
         val = b["value"].to_numpy(zero_copy_only=False)
         rows = {"event_type": [], "digest": []}
         for k, t in enumerate(uniques):
@@ -1300,7 +1301,7 @@ def q_value_quantiles_tdigest(sf_dir: str):
     def rank_counts(b: pa.Table) -> pa.Table:
         from fastpasta_ray.sketches import group_codes
 
-        codes, uniques = group_codes(b["event_type"])
+        codes, uniques = group_codes(b["event_type"], include_null=True)
         val = b["value"].to_numpy(zero_copy_only=False)
         rows = {"event_type": [], "n": [], "le50": [], "le99": []}
         for k, t in enumerate(uniques):
@@ -1312,16 +1313,24 @@ def q_value_quantiles_tdigest(sf_dir: str):
             rows["le99"].append(int((val[m] <= e99).sum()))
         return pa.table({k: pa.array(v) for k, v in rows.items()})
 
-    rc = _to_table(ds.map_batches(rank_counts, batch_format="pyarrow")).to_pandas()
-    rc = rc.groupby("event_type")[["n", "le50", "le99"]].sum()
+    # fold the tiny (types × blocks) partial-count table in a dict — a
+    # pandas groupby here would drop the NULL event_type group (dropna)
+    rct = _to_table(ds.map_batches(rank_counts, batch_format="pyarrow"))
+    rc: dict = {}
+    for r in rct.to_pylist():
+        acc = rc.setdefault(r["event_type"], [0, 0, 0])
+        acc[0] += r["n"]
+        acc[1] += r["le50"]
+        acc[2] += r["le99"]
     rows = {"event_type": [], "p50": [], "p99": [], "td_p50_ok": [], "td_p99_ok": []}
-    for t in sorted(merged):
-        n = max(int(rc.loc[t, "n"]), 1)
+    for t in sorted(merged, key=lambda t: (t is None, t or "")):
+        n, le50, le99 = rc[t]
+        n = max(int(n), 1)
         rows["event_type"].append(t)
         rows["p50"].append(round(ex[t]["p50"], 4))
         rows["p99"].append(round(ex[t]["p99"], 4))
-        rows["td_p50_ok"].append(bool(abs(rc.loc[t, "le50"] / n - 0.5) <= 0.01))
-        rows["td_p99_ok"].append(bool(abs(rc.loc[t, "le99"] / n - 0.99) <= 0.01))
+        rows["td_p50_ok"].append(bool(abs(le50 / n - 0.5) <= 0.01))
+        rows["td_p99_ok"].append(bool(abs(le99 / n - 0.99) <= 0.01))
     return pa.table(
         {
             "event_type": pa.array(rows["event_type"]),
@@ -2280,7 +2289,8 @@ def q_top_docs_per_source(sf_dir: str):
         ["source", "n_chars", "doc_id"], ascending=[True, False, True],
         kind="mergesort",
     )
-    df = df.groupby("source", sort=True).head(k).reset_index(drop=True)
+    # dropna=False: keep a NULL-source group like the oracle's PARTITION BY
+    df = df.groupby("source", sort=True, dropna=False).head(k).reset_index(drop=True)
     return pa.table(
         {
             "source": pa.array(df["source"]),

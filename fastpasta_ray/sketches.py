@@ -79,7 +79,7 @@ def utf8_parts(texts) -> tuple[np.ndarray, np.ndarray]:
     return np.frombuffer(b"".join(enc), dtype=np.uint8), lens
 
 
-def group_codes(col) -> tuple[np.ndarray, list[str]]:
+def group_codes(col, include_null: bool = False) -> tuple[np.ndarray, list]:
     """(int64 group codes per row, distinct values) of a string column.
 
     Dictionary-encode once, then group masks are numeric ``codes == k``
@@ -87,13 +87,22 @@ def group_codes(col) -> tuple[np.ndarray, list[str]]:
     object-array equality (the ``np.asarray(to_pylist, dtype=object)``
     pattern this replaces). NULL rows get code -1 (their own group, never
     merged with '' — code-review r4); callers iterating ``enumerate(
-    uniques)`` therefore skip null rows unless they handle -1 explicitly."""
+    uniques)`` therefore skip null rows unless they handle -1 explicitly
+    OR pass ``include_null=True``, which appends ``None`` as a final
+    group so NULL rows participate like SQL GROUP BY (ADVICE r4: the
+    grouped-query partials silently dropped the NULL group the DuckDB
+    oracles keep)."""
     a = one_chunk(col)
     enc = a.dictionary_encode()
     codes = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False).astype(
         np.int64
     )
-    return codes, [str(u) for u in enc.dictionary.to_pylist()]
+    uniques: list = [str(u) for u in enc.dictionary.to_pylist()]
+    if include_null and (codes == -1).any():
+        codes = codes.copy()
+        codes[codes == -1] = len(uniques)
+        uniques.append(None)
+    return codes, uniques
 
 
 _FNV = np.uint64(1099511628211)  # 64-bit FNV prime (odd → invertible mod 2^64)
@@ -175,7 +184,10 @@ def _hash_byte_rows(data: np.ndarray, lens: np.ndarray) -> np.ndarray:
     n = len(lens)
     len_mix = splitmix64(lens.astype(np.uint64, copy=False) + np.uint64(0xA5A5))
     if n == 0 or len(data) == 0:
-        return len_mix
+        # must match the main path's h=0 result for empty rows so a row's
+        # hash never depends on batch composition (ADVICE r4: "" hashed
+        # differently in an all-empty batch vs a mixed batch)
+        return splitmix64(len_mix)
     nwords = (lens + 7) >> 3
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
@@ -201,7 +213,11 @@ def _hash_byte_rows(data: np.ndarray, lens: np.ndarray) -> np.ndarray:
     woff = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(nwords, out=woff[1:])
     total_words = int(woff[-1])
-    padded = np.zeros(total_words * 8, dtype=np.uint8)
+    # +1 sentinel zero word: trailing empty rows have woff[i] == total_words,
+    # and clamping those reduceat indices truncated the LAST non-empty row's
+    # segment (ADVICE r4 high: hash depended on batch layout). With the
+    # sentinel every boundary index is valid and the zero word adds nothing.
+    padded = np.zeros((total_words + 1) * 8, dtype=np.uint8)
     pad_shift = woff[:-1] * 8 - starts  # dst − src offset; constant per row
     if len(data) >= 64 * n:
         # long rows: runs of equal shift copied with one slice each
@@ -217,10 +233,10 @@ def _hash_byte_rows(data: np.ndarray, lens: np.ndarray) -> np.ndarray:
         padded[np.arange(len(data), dtype=np.int64) + np.repeat(pad_shift, lens)] = data
     words = padded.view(np.uint64)
     with np.errstate(over="ignore"):
-        pinv = _pows_u64(_FNV_INV, total_words)  # pinv[k] = P^-k mod 2^64
+        pinv = _pows_u64(_FNV_INV, total_words + 1)  # pinv[k] = P^-k mod 2^64
         terms = words * pinv
         # segmented sums at row boundaries (np.add.reduceat: no prefix array)
-        seg = np.add.reduceat(terms, np.minimum(woff[:-1], total_words - 1))
+        seg = np.add.reduceat(terms, woff[:-1])
         seg[nwords == 0] = 0  # reduceat yields terms[i] for empty segments
         h = seg * _pow_u64(_FNV, np.maximum(woff[1:] - 1, 0))
     return splitmix64(h ^ len_mix)

@@ -228,8 +228,11 @@ def test_one_chunk_zero_copy_and_slice_safety():
 
 
 def test_group_codes():
-    """group_codes: codes index uniques, nulls group under '', sliced and
-    chunked inputs agree with the compacted copy."""
+    """group_codes: codes index uniques, NULL rows get code -1 (their own
+    group, never merged with '' — ADVICE r4: the old assertion indexed
+    uniques with -1 and only passed because '' happened to be the last
+    dictionary entry), sliced and chunked inputs agree with the compacted
+    copy."""
     import numpy as np
     import pyarrow as pa
 
@@ -237,10 +240,53 @@ def test_group_codes():
 
     col = pa.chunked_array([pa.array(["b", "a", None, "b", "a", ""])])
     codes, uniques = group_codes(col)
-    assert [uniques[c] for c in codes] == ["b", "a", "", "b", "a", ""]
+    assert codes[2] == -1  # null row: its own group, NOT ''
+    nn = [i for i in range(len(codes)) if i != 2]
+    assert [uniques[codes[i]] for i in nn] == ["b", "a", "b", "a", ""]
+    assert "" in uniques  # '' is a real group, distinct from null
     # round-trip through a slice offset
     s = pa.array([f"s{i % 3}" for i in range(30)])
     c1, u1 = group_codes(pa.chunked_array([s.slice(7, 20)]))
     c2, u2 = group_codes(pa.array(s.to_pylist()[7:27]))
     assert [u1[c] for c in c1] == [u2[c] for c in c2]
     assert codes.dtype == np.int64
+
+
+def test_hash_byte_rows_layout_independent():
+    """A row's hash must not depend on batch composition (ADVICE r4 high:
+    the reduceat clamp dropped the last word of the final non-empty row
+    when trailing empty/null rows followed, and the empty-batch early
+    return skipped the splitmix64 finalization). fingerprint() persists
+    these hashes as exact-dup keys, so cross-run comparability requires
+    strict layout independence — including agreement between the short-row
+    (<=64 B) Horner path and the segmented long-row path."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fastpasta_ray.sketches import _hash_byte_rows, utf8_parts
+
+    def h(layout):
+        data, lens = utf8_parts(pa.array(layout, type=pa.string()))
+        return _hash_byte_rows(data, lens)
+
+    s = "x" * 100  # > 64 B -> segmented path when alone
+    ref = h([s])[0]
+    assert h([s, ""])[0] == ref  # trailing empty row
+    assert h([s, None])[0] == ref  # trailing null row
+    assert h(["", s, ""])[1] == ref  # surrounded
+    assert h([s, "q" * 9, ""])[0] == ref  # trailing short + empty
+
+    # empty string: identical in all-empty, all-null, and mixed batches
+    e = h([""])[0]
+    assert h([None])[0] == e
+    assert h(["", ""])[0] == e
+    assert h(["a" * 200, ""])[1] == e
+    assert h(["zz", ""])[1] == e  # short-row path empty
+
+    # short (<=64 B fixed-width Horner) and segmented paths agree per row
+    t = "y" * 40
+    assert h([t])[0] == h([t, "z" * 300])[0]
+    # non-multiple-of-8 lengths across both paths
+    for ln in (1, 7, 8, 9, 63, 64, 65, 127, 128):
+        u = "w" * ln
+        assert h([u])[0] == h(["pad" * 60, u, None])[1], ln
