@@ -256,7 +256,14 @@ def contamination_check_distributed(
     rows = docs.map_batches(emit(False), batch_format="pyarrow").union(
         bench.map_batches(emit(True), batch_format="pyarrow")
     ).materialize()  # shield the two-side scan from groupby sampling
-    per_bucket = rows.groupby("bucket").map_groups(
+    # coalesce capped at the bucket cardinality: the sort-based groupby
+    # makes one partition per input block, and surplus partitions come back
+    # as schema-less empty blocks (the RefBundle schema-flip warning —
+    # VERDICT r4 #5; same fix as dedup._grouped)
+    from fastpasta_ray.sources.parquet import cluster_cpus
+
+    blocks = max(2, min(2 * cluster_cpus(), rows.count() // 50_000 + 1, num_buckets))
+    per_bucket = rows.repartition(blocks).groupby("bucket").map_groups(
         bucket_overlap, batch_format="pyarrow"
     )
 

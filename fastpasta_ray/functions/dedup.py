@@ -349,6 +349,7 @@ def _grouped(
     n_rows: int | None = None,
     small_rows: int | None = None,
     as_table: bool = False,
+    key_card: int | None = None,
 ):
     """``groupby(key).map_groups(fn)`` — or, below ``small_rows`` input
     rows, ``fn`` applied to the whole (slim) table ON THE DRIVER.
@@ -392,7 +393,23 @@ def _grouped(
         )
         res = fn(tbl)
         return res if as_table else ray.data.from_arrow(res)
-    out = ds.groupby(key).map_groups(fn, batch_format="pyarrow")
+    # Coalesce before the sort-based groupby: the sort makes one output
+    # partition per INPUT block, and inputs here often carry many typed
+    # EMPTY blocks (e.g. the jaccard-verify set scan after candidate
+    # pushdown keeps <0.1% of corpus batches). Surplus partitions come
+    # back as schema-LESS empty blocks from Ray's block builder, flipping
+    # the stream's schema mid-plan (VERDICT r4 #5: "RefBundle with a
+    # different schema" in the bench tail). Size-aware block count, capped
+    # by the key cardinality when the caller knows it (more partitions
+    # than distinct keys guarantees empty ranges).
+    from fastpasta_ray.sources.parquet import cluster_cpus
+
+    blocks = int(max(2, min(2 * cluster_cpus(), n // 50_000 + 1)))
+    if key_card is not None:
+        blocks = max(2, min(blocks, key_card))
+    out = ds.repartition(blocks).groupby(key).map_groups(
+        fn, batch_format="pyarrow"
+    )
     if as_table:
         parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
         if parts:
@@ -697,6 +714,7 @@ def exact_jaccard_verify(
         verify,
         n_rows=3 * len(ab),
         small_rows=min(20_000, GROUPED_SMALL_ROWS),
+        key_card=num_buckets,
     )
     if as_table:
         vparts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]

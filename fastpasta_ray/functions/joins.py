@@ -65,19 +65,26 @@ def asof_join(
     rtypes = {f.name: f.type for f in rschema}
     keep_r = right_cols or [c for c in rcols if c not in (on, by)]
 
+    # ONE canonical column order for both sides: append-order differs
+    # between the widen fns, and a union of two orders makes the executor
+    # see a schema flip on every bundle boundary (VERDICT r4 #5)
+    union_cols = lcols + ["__bucket", "__side"] + [
+        c for c in keep_r if c not in lcols
+    ]
+
     def widen_left(b: pa.Table) -> pa.Table:
         t = tag("l")(b)
         for c in keep_r:
             if c not in t.column_names:
                 t = t.append_column(c, pa.nulls(t.num_rows, type=rtypes[c]))
-        return t
+        return t.select(union_cols)
 
     def widen_right(b: pa.Table) -> pa.Table:
         t = tag("r")(b.select([by, on] + keep_r))
         for c in lcols:
             if c not in t.column_names:
                 t = t.append_column(c, pa.nulls(t.num_rows, type=ltypes[c]))
-        return t
+        return t.select(union_cols)
 
     lw = left.map_batches(widen_left, batch_format="pyarrow")
     rw = right.map_batches(widen_right, batch_format="pyarrow")

@@ -315,8 +315,12 @@ def cluster_radii(
     parts = ds.map_batches(partial_radii, batch_format="pyarrow")
     r = np.zeros(n_c)
     for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
-        for row in b["radii"].to_pylist():
-            r = np.maximum(r, np.asarray(row))
+        if b.num_rows:
+            # (blocks, n_c) partials in one flat view — no per-row pylist
+            flat = b["radii"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            )
+            r = np.maximum(r, flat.reshape(-1, n_c).max(axis=0))
     return r
 
 

@@ -68,6 +68,26 @@ def _round_col(t: pa.Table, col: str, nd: int = 2) -> pa.Table:
     return t.set_column(i, col, pc.round(t[col], ndigits=nd))
 
 
+def _seed_centroids(ds, k: int = 8) -> np.ndarray:
+    """Embeddings of the k smallest vec_ids as float64 centroids, via
+    per-batch min-k partials + a driver reduce over ≤ k×blocks rows
+    (VERDICT r4 #2: ``ds.sort("vec_id").limit(k)`` ran a full global sort
+    shuffle for k rows — the same partial-reduce shape as
+    q_top_docs_per_source, no shuffle at any corpus size)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["vec_id"].to_numpy(zero_copy_only=False)
+        if len(v) > k:
+            b = b.take(pa.array(np.sort(np.argpartition(v, k)[:k])))
+        return b
+
+    parts = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    vid = parts["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(vid, kind="stable")[:k]
+    emb = parts["embedding"].take(pa.array(order)).to_pylist()
+    return np.asarray(emb, dtype=np.float64)
+
+
 # ---------------------------------------------------------------------------
 # G1: grouped sums/counters (TPC-H Q1 shape) — pre-aggregation inside
 # map_batches happens implicitly via Ray's partial groupby combine.
@@ -325,8 +345,13 @@ def q_lines_per_orderpriority(sf_dir: str):
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
+    # coalesce the 8 join partitions below the group cardinality (5): the
+    # sort-based aggregate makes one range per input block, and surplus
+    # ranges come back as schema-less empty blocks (VERDICT r4 #5)
     return _to_table(
-        joined.groupby("o_orderpriority").aggregate(Count(alias_name="n_lines"))
+        joined.repartition(4)
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_lines"))
     )
 
 
@@ -929,16 +954,21 @@ def q_asof_purchase_attribution(sf_dir: str):
 
     ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
-    def side(kind):
+    def side(kind, cols=None):
         def f(b: pa.Table) -> pa.Table:
             t = b.filter(pc.equal(b["event_type"], kind))
-            return t.drop_columns(["event_type"])
+            return t.select(cols) if cols else t.drop_columns(["event_type"])
         return f
 
-    purchases = ev.map_batches(side("purchase"), batch_format="pyarrow")
-    views = ev.map_batches(side("view"), batch_format="pyarrow").map_batches(
-        lambda b: b.select(["user_id", "ts"]), batch_format="pyarrow"
-    )
+    # ONE fused filter+project map per side, then a coalesce: a block with
+    # zero purchases/views would otherwise ride into asof_join's widen map
+    # as an empty block that Ray skips, emitting a schema-less block
+    # (VERDICT r4 #5). Block count is bench-scale; at corpus scale the
+    # asof exchange re-buckets anyway.
+    purchases = ev.map_batches(side("purchase"), batch_format="pyarrow").repartition(4)
+    views = ev.map_batches(
+        side("view", ["user_id", "ts"]), batch_format="pyarrow"
+    ).repartition(4)
     joined = asof_join(purchases, views, on="ts", by="user_id", right_cols=[])
     t = _to_table(joined)
     df = t.to_pandas()
@@ -1772,7 +1802,10 @@ def q_contamination_check(sf_dir: str):
 
         return f
 
-    bench = ds.map_batches(_mod_filter(True), batch_format="pyarrow")
+    # bench side coalesced: ~1/101 docs survive, so most filtered blocks
+    # are empty and Ray's map_batches turns empty blocks into schema-less
+    # ones downstream (VERDICT r4 #5); the corpus side never coalesces
+    bench = ds.map_batches(_mod_filter(True), batch_format="pyarrow").repartition(2)
     corpus = ds.map_batches(_mod_filter(False), batch_format="pyarrow")
     out = contamination_check(corpus, bench, ngram_n=3)
     t = _to_table(out)
@@ -1818,7 +1851,12 @@ def q_contamination_check_dist(sf_dir: str):
 
         return f
 
-    bench = ds.map_batches(_mod_filter(True), batch_format="pyarrow")
+    # coalesce the (tiny) bench side: ~1/101 docs survive the filter, so
+    # most of its blocks are EMPTY — Ray's map_batches skips the UDF on
+    # empty blocks and emits schema-LESS empties, flipping the downstream
+    # stream schema (VERDICT r4 #5). The corpus side keeps ~99% of rows
+    # per block and never coalesces (it is the 100-TB side).
+    bench = ds.map_batches(_mod_filter(True), batch_format="pyarrow").repartition(2)
     corpus = ds.map_batches(_mod_filter(False), batch_format="pyarrow")
     out = contamination_check_distributed(corpus, bench, ngram_n=3)
     t = _to_table(out)
@@ -1885,8 +1923,7 @@ def q_kmeans_assign(sf_dir: str):
     from fastpasta_ray.functions.similarity import kmeans_assign
 
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    seed_rows = ds.sort("vec_id").limit(8).take_all()
-    cent = np.asarray([r["embedding"] for r in seed_rows], dtype=np.float64)
+    cent = _seed_centroids(ds, 8)
     out = kmeans_assign(ds, cent).groupby("cluster").count()
     t = _to_table(out).rename_columns(["cluster", "n_assigned"])
     return t.set_column(
@@ -2007,8 +2044,7 @@ def q_semantic_dedup(sf_dir: str):
     from fastpasta_ray.functions.similarity import semantic_dedup
 
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    seed_rows = ds.sort("vec_id").limit(8).take_all()
-    cent = np.asarray([r["embedding"] for r in seed_rows], dtype=np.float64)
+    cent = _seed_centroids(ds, 8)
     t = _to_table(semantic_dedup(ds, cent, threshold=0.4))
     if t is None:
         return pa.table(

@@ -310,8 +310,6 @@ class ValidateFiles:
                     rv = running.check_batch(batch)
                     if rv.num_rows:
                         v = pa.concat_tables([v, rv])
-                elif running is None:
-                    pass
                 v = _filter_codes(v, cfg.enabled_codes)
                 if v.num_rows:
                     room = cfg.max_errors_per_part - emitted
