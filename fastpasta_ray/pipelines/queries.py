@@ -2346,3 +2346,109 @@ ORACLES["top_docs_per_source"] = """
     ORDER BY source, n_chars DESC, doc_id
 """
 QUERIES["top_docs_per_source"] = q_top_docs_per_source
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing CORRECTNESS pin (VERDICT r4 #3): the media path —
+# binary payload column + typed metadata + actor-pool decode stages — gets a
+# hard-signal oracle. The media table is derived DETERMINISTICALLY from
+# documents (payload = UTF-8 text bytes, width/height from doc_id) so the
+# DuckDB oracle can replicate the fake-decode stats byte for byte: the
+# corpus is ASCII (strlen == length for every sf dir, asserted in
+# TESTDATA-derived checks), so SQL codepoints equal payload bytes.
+# ---------------------------------------------------------------------------
+
+def q_media_stats(sf_dir: str):
+    """Fake-media decode stats over an actor-pool pipeline: per media,
+    ImageDecoder's pixels/mean/std (fake decode = byte stats of the
+    payload; fastpasta_ray/functions/multimodal.py) and
+    VideoFrameSampler's sampled-frame count (payload seen as a stream of
+    w×h-byte frames, every 10th kept).
+
+    Scale shape: two independent streaming plans over the same read (no
+    mid-pipeline materialization); both decode stages are actor pools
+    (codec setup once per actor) with the small batch_size binary payloads
+    need. The per-media frame count folds IN-BATCH: a sampler output block
+    is f(one input block), so one media's frames never straddle blocks.
+    The final per-media join runs driver-side on the collected tables —
+    fine at bench scale; at corpus scale co-partition both legs by
+    media_id and join per partition."""
+    from fastpasta_ray.functions.multimodal import ImageDecoder, VideoFrameSampler
+
+    def to_media(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "media_id": pc.cast(b["doc_id"], pa.string()),
+                "payload": pc.cast(b["text"], pa.binary()),  # zero-copy utf8→binary
+                "media_type": pa.array(["image/png"] * len(did), type=pa.string()),
+                "width": pa.array((did % 5 + 2).astype(np.int32)),
+                "height": pa.array((did % 3 + 2).astype(np.int32)),
+                "sample_rate": pa.array(np.zeros(len(did), dtype=np.int32)),
+            }
+        )
+
+    def media_ds():
+        return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            to_media, batch_format="pyarrow"
+        )
+
+    img = _to_table(
+        media_ds().map_batches(
+            ImageDecoder, concurrency=2, batch_size=64, batch_format="pyarrow"
+        )
+    )
+
+    def fold_frames(b: pa.Table) -> pa.Table:
+        g = b.group_by("media_id").aggregate([("frame_idx", "count")])
+        return pa.table(
+            {
+                "media_id": g["media_id"],
+                "n_frames": pc.cast(g["frame_idx_count"], pa.int64()),
+            }
+        )
+
+    frames = _to_table(
+        media_ds()
+        .map_batches(
+            VideoFrameSampler,
+            fn_constructor_kwargs={"every_n": 10},
+            concurrency=2,
+            batch_size=64,
+            batch_format="pyarrow",
+        )
+        .map_batches(fold_frames, batch_size=None, batch_format="pyarrow")
+    )
+    out = img.join(frames, keys="media_id").sort_by([("media_id", "ascending")])
+    return out.select(["media_id", "pixels", "mean_value", "std_value", "n_frames"])
+
+
+# byte stats in SQL: the corpus is ASCII, so ascii(char) == payload byte.
+# SUM/SUM-of-squares over <=558 bytes are exact in float64, so the mean is
+# bit-identical to numpy's and the variance formula agrees with np.std to
+# ~1e-12 — far inside the 4-decimal rounding granularity. round_even (NOT
+# ROUND): power-of-two text lengths make means binary-EXACT half ties
+# (93.90625 at len 512), where numpy's half-even and SQL's half-away split.
+ORACLES["media_stats"] = """
+    WITH m AS (
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               (doc_id % 5 + 2) AS w, (doc_id % 3 + 2) AS h,
+               text, strlen(text) AS nbytes
+        FROM documents
+    ), b AS (
+        SELECT media_id, ascii(substring(text, CAST(u.i AS INT), 1)) AS byte
+        FROM m, unnest(range(1, CAST(length(text) AS BIGINT) + 1)) AS u(i)
+    ), s AS (
+        SELECT media_id, COUNT(*) AS n, SUM(byte) AS sm,
+               SUM(byte * byte) AS sq
+        FROM b GROUP BY media_id
+    )
+    SELECT m.media_id,
+           CAST(m.w * m.h AS BIGINT) AS pixels,
+           round_even(sm * 1.0 / n, 4) AS mean_value,
+           round_even(sqrt((sq * 1.0 - sm * 1.0 * sm / n) / n), 4) AS std_value,
+           CAST((m.nbytes // (m.w * m.h) + 9) // 10 AS BIGINT) AS n_frames
+    FROM m JOIN s USING (media_id)
+    ORDER BY media_id
+"""
+QUERIES["media_stats"] = q_media_stats
