@@ -129,6 +129,9 @@ def load_config(path: str) -> CheckConfig:
         d["allowed_segment_orders"] = tuple(
             tuple(o) for o in d["allowed_segment_orders"]
         )
+    for k in ("warning_sentinel_ids", "fatal_sentinel_ids"):
+        if d.get(k) is not None:
+            d[k] = tuple(int(x) for x in d[k])
     return CheckConfig(**d)
 
 

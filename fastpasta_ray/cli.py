@@ -80,6 +80,7 @@ def cmd_check(args) -> int:
     # the config file; untyped ones defer to it.
     _missing = object()
     _split = lambda v: tuple(v.split(",")) if v else None  # noqa: E731
+    _int_split = lambda v: tuple(int(x) for x in v.split(",")) if v else None  # noqa: E731
     _ident = lambda v: v  # noqa: E731
     _not = lambda v: not v  # noqa: E731
     spec = {
@@ -98,6 +99,8 @@ def cmd_check(args) -> int:
         "segment_delim_id": ("segment_delim", None, _ident),
         "min_segments": ("min_segments", None, _ident),
         "max_segments": ("max_segments", None, _ident),
+        "warning_sentinel_ids": ("warning_sentinels", None, _int_split),
+        "fatal_sentinel_ids": ("fatal_sentinels", None, _int_split),
     }
     cli_fields: dict = {}
     typed: set[str] = set()
@@ -564,6 +567,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="nested segment decode: delimiter token id (E73/E74/E75, ALPIDE analog)")
     c.add_argument("--min-segments", type=int, default=SUP)
     c.add_argument("--max-segments", type=int, default=SUP)
+    c.add_argument("--warning-sentinels", default=SUP, metavar="ID[,ID...]",
+                   help="token ids marking a segment WARNING (E77, APE ladder analog)")
+    c.add_argument("--fatal-sentinels", default=SUP, metavar="ID[,ID...]",
+                   help="token ids marking a segment FATAL (E78; fatal headers drop "
+                        "out of E74/E76 and lower the E73 band for the partition)")
     c.add_argument("--input-stats", default=None, help="reference profile JSON to compare against")
     c.add_argument("--output-stats", default=None, help="write stats snapshot JSON here")
     c.add_argument("--output-violations", default=None, help="write violations parquet (one file per partition) here")

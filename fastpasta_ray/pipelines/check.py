@@ -238,6 +238,13 @@ def make_report(
         else [],
         "violations_by_code": dict(sorted(by_code.items())),
         "unique_error_codes": sorted(by_code),         # G5 analog
+        # APE ladder analog: per-partition FATAL segment headers (the
+        # reference's running fatal_lanes list, readout_frame.rs:40-50)
+        "fatal_segments": {
+            p: sorted(s.fatal_segments)
+            for p, s in sorted(stats_by_part.items())
+            if s.fatal_segments
+        },
         "custom_check_messages": extra_msgs,
         "any_errors": violations.num_rows > 0 or bool(extra_msgs),
     }

@@ -99,6 +99,14 @@ E_SEG_COUNT = "E73"          # segment count out of band    ~ [E73] lane count (
 E_SEG_HEADER = "E74"         # segment headers unequal      ~ [E74] cross-lane BC equality (alpide.rs:19-122)
 E_SEG_EMPTY = "E75"          # empty segment                ~ [E75] empty-lane wrapper
 E_SEG_ORDER = "E76"          # segment header order not in allowed orderings ~ chip_orders_ob (custom_checks_cfg.rs:16-24, lane_alpide_frame_analyzer.rs:180-320)
+# APE lane-status ladder analog (lane_alpide_frame_analyzer.rs:73-177,
+# alpide_word.rs:36-49): reserved sentinel tokens inside a segment set the
+# segment's status. WARNING sentinels only report; FATAL sentinels mark the
+# segment's HEADER fatal for the rest of the partition — fatal segments are
+# excluded from E74/E76 and the E73 expected band drops by the running
+# fatal count (alpide_readout_frame.rs:65-68 expect_lane_count -= fatal)
+E_SEG_WARN = "E77"           # segment in WARNING status     ~ APE_STRIP_START/PE/OOT_DATA_MISSING
+E_SEG_FATAL = "E78"          # segment in FATAL status       ~ APE_DET_TIMEOUT..APE_RATE_MISSING_TRG
 E_EMPTY_DOC = "E701"         # manifest doc with no sequence row ~ [E701] empty readout frame
 # stats / profile comparison (analog of validate_other_stats + custom checks
 # [E9001]/[E9002], stats_validation.rs:4-38)
@@ -114,7 +122,7 @@ ALL_CODES = (
     E_INDEX_REPEAT, E_INDEX_DECREASE, E_PART_ORDINAL, E_INDEX_ROW_DESYNC,
     E_DUP_DOCID,
     E_ORPHAN, E_MANIFEST_NTOK, E_SEG_COUNT, E_SEG_HEADER, E_SEG_EMPTY,
-    E_SEG_ORDER,
+    E_SEG_ORDER, E_SEG_WARN, E_SEG_FATAL,
     E_EMPTY_DOC, E_CUSTOM_COUNT, E_PROFILE_FIELD,
     E_DRIFT_PSI, E_DRIFT_KS,
 )

@@ -637,7 +637,7 @@ class PartStats:
     validate stage to the final merge (analog of the reference's per-link
     stats flushed to the Controller)."""
 
-    __slots__ = ("row_count", "token_count", "hll", "n_tok_hist", "source_hist", "token_mm", "vocab_bitmap", "has_payload")
+    __slots__ = ("row_count", "token_count", "hll", "n_tok_hist", "source_hist", "token_mm", "vocab_bitmap", "has_payload", "fatal_segments")
 
     def __init__(self, vocab: int = 50304, has_payload: bool = True):
         self.row_count = 0
@@ -651,6 +651,9 @@ class PartStats:
         self.source_hist = Counter()
         self.token_mm = MinMax()
         self.vocab_bitmap = VocabBitmap(vocab)
+        # segment headers that went FATAL in this partition (APE ladder
+        # analog — the reference's per-run fatal_lanes list)
+        self.fatal_segments: set[int] = set()
 
     def merge(self, other: "PartStats") -> "PartStats":
         self.row_count += other.row_count
@@ -661,6 +664,7 @@ class PartStats:
         self.source_hist.merge(other.source_hist)
         self.token_mm.merge(other.token_mm)
         self.vocab_bitmap.merge(other.vocab_bitmap)
+        self.fatal_segments |= other.fatal_segments
         return self
 
     def to_json(self) -> str:
@@ -674,6 +678,7 @@ class PartStats:
                 "source_hist": self.source_hist.to_json(),
                 "token_mm": self.token_mm.to_json(),
                 "vocab_bitmap": self.vocab_bitmap.to_json(),
+                "fatal_segments": sorted(self.fatal_segments),
             }
         )
 
@@ -691,4 +696,5 @@ class PartStats:
         ps.token_mm = MinMax.from_json(d["token_mm"])
         if "vocab_bitmap" in d:
             ps.vocab_bitmap = VocabBitmap.from_json(d["vocab_bitmap"])
+        ps.fatal_segments = set(d.get("fatal_segments", ()))
         return ps

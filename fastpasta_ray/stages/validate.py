@@ -84,6 +84,13 @@ class CheckConfig:
     min_segments: int | None = None
     max_segments: int | None = None
     allowed_segment_orders: tuple | None = None
+    # APE lane-status ladder analog (lane_alpide_frame_analyzer.rs:73-177,
+    # alpide_word.rs:36-49): reserved token ids that set a segment's
+    # status. WARNING → E77 report only; FATAL → E78 + the segment's
+    # header joins the partition's running fatal set (fatal segments drop
+    # out of E74/E76 and lower the E73 band — see checks/segments.py)
+    warning_sentinel_ids: tuple | None = None
+    fatal_sentinel_ids: tuple | None = None
     extra: dict = field(default_factory=dict)
 
     @property
@@ -190,6 +197,9 @@ class ValidateFiles:
     def validate_file(self, path: str) -> Iterator[pa.Table]:
         cfg = self.cfg
         stats = PartStats(vocab=cfg.vocab, has_payload=cfg.read_payload)
+        # running fatal-segment headers for THIS partition (APE ladder
+        # analog; grows batch-to-batch like the reference's fatal_lanes)
+        fatal_heads: frozenset = frozenset()
         running = (
             RunningState(
                 cfg.expected_index_stride,
@@ -291,13 +301,22 @@ class ValidateFiles:
                 if cfg.read_payload and cfg.segment_delim_id is not None:
                     from fastpasta_ray.checks.segments import run_segment_checks
 
-                    sv = run_segment_checks(
+                    sv, new_fatal = run_segment_checks(
                         batch,
                         delim_id=cfg.segment_delim_id,
                         min_segments=cfg.min_segments,
                         max_segments=cfg.max_segments,
                         allowed_orders=cfg.allowed_segment_orders,
+                        warning_sentinels=cfg.warning_sentinel_ids,
+                        fatal_sentinels=cfg.fatal_sentinel_ids,
+                        fatal_heads=fatal_heads,
                     )
+                    if new_fatal:
+                        # per-partition running fatal set (the reference's
+                        # add_fatal_lanes, readout_frame.rs:40-50); surfaced
+                        # in the report via PartStats
+                        fatal_heads = frozenset(fatal_heads | set(new_fatal))
+                        stats.fatal_segments |= set(new_fatal)
                     if sv.num_rows:
                         v = pa.concat_tables([v, sv])
                 if cfg.extra.get("custom_checks"):

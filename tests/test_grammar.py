@@ -154,9 +154,10 @@ def test_segment_checks_exact_rows():
         [5, 1, 99, 5, 2, 99],                # trailing delim → E75 (empty last)
         [],                                  # empty row: no segment checks
     ]
-    v = run_segment_checks(
+    v, new_fatal = run_segment_checks(
         _seg_batch(rows), delim_id=DELIM, min_segments=2, max_segments=3
     )
+    assert new_fatal == []
     got = sorted(zip(v["row_index"].to_pylist(), v["code"].to_pylist()))
     assert got == [(1, "E74"), (2, "E73"), (3, "E75"), (4, "E75"), (5, "E75")]
 
@@ -209,7 +210,7 @@ def test_segment_allowed_orders_e76():
         [5, 1, 99, 7, 2, 99, 6, 3],   # headers (5,7,6) → WRONG order → E76
         [5, 1, 99, 6, 2],             # headers (5,6)   → length matches no order → E76
     ]
-    v = run_segment_checks(
+    v, _ = run_segment_checks(
         _seg_batch(rows),
         delim_id=DELIM,
         check_headers=False,          # isolate E76 (headers differ → E74 noise)
@@ -260,3 +261,136 @@ def test_segment_allowed_orders_via_config(tmp_path):
     assert res.violations.num_rows == 1
     assert res.violations["code"].to_pylist() == ["E76"]
     assert res.violations["row_index"].to_pylist() == [1]
+
+
+def test_ape_ladder_warning_and_fatal():
+    """APE lane-status ladder analog (lane_alpide_frame_analyzer.rs:73-177,
+    alpide_word.rs:36-49): a warning sentinel inside a segment reports E77
+    and changes NOTHING else; a fatal sentinel reports E78 with the exact
+    headers, lowers the E73 band from the onset ROW on (the reference's
+    expect_lane_count -= fatal_lanes.len(), applied to the reporting frame
+    itself, readout_frame.rs:106-118), and drops the fatal header out of
+    E74 equality and E76 ordering."""
+    from fastpasta_ray.checks.segments import run_segment_checks
+
+    DELIM, WARN, FATAL = 99, 901, 902
+    rows = [
+        [5, 1, 99, 5, 2, 99, 5, 3],           # clean: 3 segments
+        [5, 1, WARN, 99, 5, 2, 99, 5, 3],     # E77 only — still 3 segments
+        [5, 1, 99, 7, FATAL, 99, 5, 3],       # header 7 goes FATAL: E78; 3 segs
+                                               # vs band [3,3]-1 → E73 fires
+                                               # (transition row, like the ref);
+                                               # E74 skips the fatal segment
+        [5, 1, 99, 5, 2],                      # 2 segments vs [3,3]-1 → clean
+        [5, 1, 99, 7, 9, 99, 5, 2],            # header 7 STILL fatal: excluded
+                                               # from E74; 3 segs vs [2,2] → E73
+    ]
+    v, new_fatal = run_segment_checks(
+        _seg_batch(rows),
+        delim_id=DELIM,
+        min_segments=3,
+        max_segments=3,
+        warning_sentinels=(WARN,),
+        fatal_sentinels=(FATAL,),
+    )
+    assert new_fatal == [7]
+    got = sorted(zip(v["row_index"].to_pylist(), v["code"].to_pylist()))
+    assert got == [(1, "E77"), (2, "E73"), (2, "E78"), (4, "E73")]
+    msgs = {
+        (r, c): m
+        for r, c, m in zip(
+            v["row_index"].to_pylist(), v["code"].to_pylist(), v["message"].to_pylist()
+        )
+    }
+    assert msgs[(1, "E77")] == (
+        "[E77] 1 segment(s) in WARNING status (warning sentinel seen)"
+    )
+    assert msgs[(2, "E78")] == (
+        "[E78] 1 segment(s) in FATAL status; headers [7] "
+        "excluded from lane checks from this row on"
+    )
+    assert msgs[(2, "E73")] == (
+        "[E73] segment count 3 outside [3, 3] less 1 fatal segment(s)"
+    )
+    assert msgs[(4, "E73")] == (
+        "[E73] segment count 3 outside [3, 3] less 1 fatal segment(s)"
+    )
+
+
+def test_ape_ladder_fatal_excluded_from_e76_orders():
+    """Fatal headers are removed from the allowed orderings before the E76
+    match — the validate_inner_lane_groupings adjustment
+    (alpide_readout_frame.rs:96-129): after header 6 goes fatal, (5, 7) is
+    a valid remnant of the allowed (5, 6, 7)."""
+    from fastpasta_ray.checks.segments import run_segment_checks
+
+    DELIM, FATAL = 99, 902
+    rows = [
+        [5, 1, 99, 6, 2, 99, 7, 3],           # (5,6,7): allowed
+        [5, 1, 99, 6, FATAL, 99, 7, 3],       # 6 goes fatal; non-fatal (5,7)
+                                               # matches (5,6,7) minus {6} → OK
+        [5, 1, 99, 7, 2],                      # (5,7) still OK (6 remains fatal)
+        [7, 1, 99, 5, 2],                      # (7,5): wrong order → E76
+    ]
+    v, new_fatal = run_segment_checks(
+        _seg_batch(rows),
+        delim_id=DELIM,
+        check_headers=False,
+        allowed_orders=((5, 6, 7),),
+        fatal_sentinels=(FATAL,),
+    )
+    assert new_fatal == [6]
+    got = sorted(zip(v["row_index"].to_pylist(), v["code"].to_pylist()))
+    assert got == [(1, "E78"), (3, "E76")]
+
+
+def test_ape_ladder_running_across_batches_and_report():
+    """The fatal set carries across batches of a partition (the caller-side
+    fatal_heads loop in ValidateFiles) and surfaces as the per-run fatal
+    list in the report — readout_frame.rs:40-50 add_fatal_lanes."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastpasta_ray.checks.segments import run_segment_checks
+    from fastpasta_ray.pipelines.check import run_check
+    from fastpasta_ray.stages.validate import CheckConfig
+
+    # unit-level: batch 2 sees batch 1's fatal header via fatal_heads
+    v2, nf2 = run_segment_checks(
+        _seg_batch([[5, 1, 99, 7, 2]]),
+        delim_id=99,
+        min_segments=2,
+        max_segments=2,
+        fatal_sentinels=(902,),
+        fatal_heads=frozenset({7}),
+    )
+    # 2 segments vs band [2,2]-1=[1,1] → E73 (7 still counted, band shrunk)
+    assert v2["code"].to_pylist() == ["E73"]
+    assert nf2 == []
+
+    # pipeline-level: report carries the per-partition fatal list
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    rows = [
+        [5, 1, 99, 7, 902, 99, 6, 3],
+        [5, 1, 99, 6, 2],
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(["web/0000/00000000", "web/0000/00000001"]),
+            "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r) for r in rows], type=pa.int32()),
+            "source": pa.array(["web", "web"]),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "part-0000.parquet"))
+    res = run_check(
+        d,
+        cfg=CheckConfig(segment_delim_id=99, fatal_sentinel_ids=(902,)),
+        with_key_checks=False,
+    )
+    assert res.report["fatal_segments"] == {"part-0000": [7]}
+    assert "E78" in res.report["violations_by_code"]
