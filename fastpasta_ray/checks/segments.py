@@ -188,7 +188,8 @@ def run_segment_checks(
         era_sets.append(
             np.unique(np.concatenate([prior, uh[onset <= b]]))
         )
-    nf_per_row = np.array([len(era_sets[e]) for e in era_of], dtype=np.int64)
+    era_sizes = np.array([len(s) for s in era_sets], dtype=np.int64)
+    nf_per_row = era_sizes[era_of]
     # per-segment exclusion: header in the fatal set in force at its row
     if n_seg and (len(prior) or len(uh)):
         seg_excl = np.zeros(n_seg, dtype=bool)
