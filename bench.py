@@ -413,6 +413,12 @@ def run_scaling(sf_dir: str) -> dict:
     multi-node cluster each node brings its own memory bus)."""
     out = {}
     levels = (1, 2, 4, 8, 32)
+    # scaling defaults to the 4x fixture (override with GRAFT_FIXTURE_MULT):
+    # at mult=1 the per-run constants (executor launches, actor spin-up,
+    # exchange fixed costs) are a visible fraction of a 2.5 s 4-CPU run —
+    # measured 1->4 = 0.799 at mult=1 vs 0.937 at mult=4 in the same
+    # session. The 100 TB target regime is the amortized one.
+    mult = os.environ.get("GRAFT_FIXTURE_MULT", "4")
     # INTERLEAVED reps (1,2,4,8,32, 1,2,4,8,32): a slow box window then
     # hits every level equally instead of poisoning one level's both runs
     for rep in range(2):
@@ -420,6 +426,7 @@ def run_scaling(sf_dir: str) -> dict:
             env = dict(os.environ)  # transient external load on the box
             env["RAY_GRAFT_CPUS"] = str(cpus)
             env["GRAFT_SF_DIR"] = sf_dir
+            env["GRAFT_FIXTURE_MULT"] = mult
             env["FP_BENCH_NO_QUERIES"] = "1"
             # no quiet-wait inside scaling levels: the interleaved-reps
             # design already samples every level across load windows, and
@@ -446,7 +453,7 @@ def run_scaling(sf_dir: str) -> dict:
         "value": eff(1, 4),
         "unit": "efficiency",
         "sf": out[1]["sf"],
-        "fixture_mult": int(os.environ.get("GRAFT_FIXTURE_MULT", "1")),
+        "fixture_mult": int(mult),
         "rows": out[1].get("rows"),
         "throughputs": {
             str(c): {

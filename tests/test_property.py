@@ -457,3 +457,79 @@ def test_semantic_dedup_blocked_kernel_matches_naive(n, block, seed):
         if (sims[i, :i] >= thr).any()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# APE fatal-carry: batch-split invariance (the era mechanism is row-exact,
+# so the (violations, fatal set) must not depend on where batch boundaries
+# fall — the same invariant the RunningState test pins for E11)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 6), min_size=0, max_size=8), min_size=1, max_size=12
+    ),
+    st.integers(1, 4),
+)
+def test_segment_fatal_carry_batch_split_invariant(seg_specs_rows, split):
+    """Rows are built from per-segment specs: header token in [5, 11] (5 +
+    spec value) and a FATAL sentinel inside segments whose spec is even.
+    Violations and the running fatal set must be identical whether the rows
+    are checked in one batch or split at arbitrary boundaries with
+    fatal_heads carried between calls."""
+    from fastpasta_ray.checks.segments import run_segment_checks
+
+    DELIM, FATAL = 99, 902
+
+    def build_row(specs):
+        toks = []
+        for k, sp in enumerate(specs):
+            if k:
+                toks.append(DELIM)
+            toks.append(5 + sp)  # header
+            toks.append(1)
+            if sp % 2 == 0:
+                toks.append(FATAL)
+        return toks
+
+    rows = [build_row(sp) for sp in seg_specs_rows]
+
+    def batch_of(chunk, start):
+        return pa.table(
+            {
+                "part": pa.array(["p"] * len(chunk)),
+                "row_index": pa.array(
+                    range(start, start + len(chunk)), type=pa.int64()
+                ),
+                "doc_id": pa.array([f"d{i}" for i in range(start, start + len(chunk))]),
+                "tokens": pa.array(chunk, type=pa.list_(pa.int32())),
+            }
+        )
+
+    kw = dict(
+        delim_id=DELIM,
+        min_segments=1,
+        max_segments=4,
+        fatal_sentinels=(FATAL,),
+        allowed_orders=tuple((5 + a, 5 + b) for a in range(7) for b in range(7)),
+    )
+    v_one, nf_one = run_segment_checks(batch_of(rows, 0), fatal_heads=frozenset(), **kw)
+    one = sorted(
+        zip(v_one["row_index"].to_pylist(), v_one["code"].to_pylist(), v_one["message"].to_pylist())
+    )
+
+    got = []
+    heads: frozenset = frozenset()
+    nf_all: list = []
+    for start in range(0, len(rows), split):
+        chunk = rows[start : start + split]
+        v, nf = run_segment_checks(batch_of(chunk, start), fatal_heads=heads, **kw)
+        # row_index column already carries the global position
+        got.extend(
+            zip(v["row_index"].to_pylist(), v["code"].to_pylist(), v["message"].to_pylist())
+        )
+        heads = frozenset(heads | set(nf))
+        nf_all.extend(nf)
+    assert sorted(got) == one
+    assert sorted(nf_all) == sorted(nf_one)
