@@ -723,8 +723,25 @@ QUERIES = {
 # ---------------------------------------------------------------------------
 
 def q_top_orders(sf_dir: str):
+    """O3 analog (top-k by value): per-batch top-10 partials + a driver
+    reduce over <= 10 x blocks candidate rows — no global sort shuffle
+    for 10 rows (the same shape the r5 seed-pick fix removed from
+    semantic_dedup/kmeans_assign)."""
+    k = 10
     ds = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    t = _to_table(ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10))
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        if len(price) > k:
+            top = np.lexsort((keys, -price))[:k]
+            b = b.take(pa.array(np.sort(top)))
+        return b
+
+    cand = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    price = cand["o_totalprice"].to_numpy(zero_copy_only=False)
+    keys = cand["o_orderkey"].to_numpy(zero_copy_only=False)
+    t = cand.take(pa.array(np.lexsort((keys, -price))[:k]))
     return _round_col(t, "o_totalprice", 2)
 
 
