@@ -2433,12 +2433,6 @@ def q_media_stats(sf_dir: str):
             to_media, batch_format="pyarrow"
         )
 
-    img = _to_table(
-        media_ds().map_batches(
-            ImageDecoder, concurrency=2, batch_size=64, batch_format="pyarrow"
-        )
-    )
-
     def fold_frames(b: pa.Table) -> pa.Table:
         g = b.group_by("media_id").aggregate([("frame_idx", "count")])
         return pa.table(
@@ -2448,6 +2442,18 @@ def q_media_stats(sf_dir: str):
             }
         )
 
+    # The two legs run SEQUENTIALLY by design: overlapping two actor-pool
+    # plans from driver threads deadlocks under constrained CPU (each
+    # pool's actors hold CPUs while idle; 2 plans x 2 actors on a 4-CPU
+    # session leaves no CPU for their read tasks — observed hang). Wall
+    # time at bench scale is actor-pool spin-up, the expected cost shape
+    # for a correctness pin; a production media pipeline amortizes actor
+    # startup across the corpus.
+    img = _to_table(
+        media_ds().map_batches(
+            ImageDecoder, concurrency=2, batch_size=64, batch_format="pyarrow"
+        )
+    )
     frames = _to_table(
         media_ds()
         .map_batches(
