@@ -67,14 +67,9 @@ def wait_for_quiet(num_cpus: int, max_wait: float) -> float:
     return round(time.monotonic() - start, 1)
 
 
-def median(xs: list[float]) -> float:
-    """Conventional median: mean of the two middle values for even n
-    (VERDICT r4: sorted(xs)[n//2] reported the UPPER median — the judged
-    number must not depend on rep-count parity)."""
-    s = sorted(xs)
-    n = len(s)
-    mid = n // 2
-    return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+# conventional median (mean of middle two for even n — VERDICT r4:
+# sorted(xs)[n//2] reported the UPPER median); the stdlib already does this
+from statistics import median
 
 
 def timed_reps(
@@ -114,7 +109,11 @@ def timed_reps(
         "clean_runs": clean,
         "discarded_runs": discarded,
         "canaries": [round(c, 3) for c in canaries],
-        "canary_gated": True,
+        # honest field name (r5 code review): reps are gated by the
+        # trim-upper SPREAD rule, never by the canary probes — canaries are
+        # pure window telemetry. A uniform burst that slows every rep still
+        # pollutes the median; the canaries list is the evidence to read.
+        "rep_gating": f"trim_upper_spread_{spread}x",
         "result": result,
     }
 
@@ -253,7 +252,7 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
             "runs": [round(r, 3) for r in h4["runs"]],
             "clean_runs": [round(r, 3) for r in h4["clean_runs"]],
             "discarded_runs": [round(r, 3) for r in h4["discarded_runs"]],
-            "canary_gated": h4["canary_gated"],
+            "rep_gating": h4["rep_gating"],
             "rows": rows4,
             "tokens": tokens4,
             "sequences_per_sec": round(rows4 / best4, 1),

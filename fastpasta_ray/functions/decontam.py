@@ -259,12 +259,13 @@ def contamination_check_distributed(
     # coalesce capped at the bucket cardinality: the sort-based groupby
     # makes one partition per input block, and surplus partitions come back
     # as schema-less empty blocks (the RefBundle schema-flip warning —
-    # VERDICT r4 #5; same fix as dedup._grouped)
-    from fastpasta_ray.sources.parquet import cluster_cpus
+    # VERDICT r4 #5; one shared policy site, coalesce_blocks)
+    from fastpasta_ray.sources.parquet import coalesce_blocks
 
-    blocks = max(2, min(2 * cluster_cpus(), rows.count() // 50_000 + 1, num_buckets))
-    per_bucket = rows.repartition(blocks).groupby("bucket").map_groups(
-        bucket_overlap, batch_format="pyarrow"
+    per_bucket = (
+        rows.repartition(coalesce_blocks(rows.count(), num_buckets))
+        .groupby("bucket")
+        .map_groups(bucket_overlap, batch_format="pyarrow")
     )
 
     # per-doc partial counts are one row per (doc, bucket-with-hits); the

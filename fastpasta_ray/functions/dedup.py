@@ -399,15 +399,10 @@ def _grouped(
     # pushdown keeps <0.1% of corpus batches). Surplus partitions come
     # back as schema-LESS empty blocks from Ray's block builder, flipping
     # the stream's schema mid-plan (VERDICT r4 #5: "RefBundle with a
-    # different schema" in the bench tail). Size-aware block count, capped
-    # by the key cardinality when the caller knows it (more partitions
-    # than distinct keys guarantees empty ranges).
-    from fastpasta_ray.sources.parquet import cluster_cpus
+    # different schema" in the bench tail).
+    from fastpasta_ray.sources.parquet import coalesce_blocks
 
-    blocks = int(max(2, min(2 * cluster_cpus(), n // 50_000 + 1)))
-    if key_card is not None:
-        blocks = max(2, min(blocks, key_card))
-    out = ds.repartition(blocks).groupby(key).map_groups(
+    out = ds.repartition(coalesce_blocks(n, key_card)).groupby(key).map_groups(
         fn, batch_format="pyarrow"
     )
     if as_table:

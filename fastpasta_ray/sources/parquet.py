@@ -41,6 +41,21 @@ def cluster_cpus(default: int = 8) -> int:
     return n or default
 
 
+def coalesce_blocks(n_rows: int, key_card: int | None = None) -> int:
+    """Block count for coalescing BEFORE a sort-based groupby: size-aware
+    (one block per ~50k rows, capped at 2x cluster CPUs) and capped at the
+    key cardinality when the caller knows it — the sort makes one output
+    partition per input block, and partitions beyond the key range come
+    back as schema-LESS empty blocks that flip the stream schema
+    (VERDICT r4 #5). ONE policy site (r5 code review: the formula had been
+    copy-pasted into dedup and decontam). key_card=1 returns 1: a floor of
+    2 would recreate the empty-range flip for single-key groupbys."""
+    blocks = int(max(2, min(2 * cluster_cpus(), n_rows // 50_000 + 1)))
+    if key_card is not None:
+        blocks = max(1, min(blocks, key_card))
+    return blocks
+
+
 def auto_batch_rows(path: str, target_bytes: int = TARGET_BATCH_BYTES) -> int:
     """Memory-aware batch sizing from parquet metadata: a batch should be
     ~target_bytes regardless of row width. 64-token rows → big batches;

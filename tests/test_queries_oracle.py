@@ -84,3 +84,30 @@ def test_entry_smoke():
     df = _as_df(res)
     assert len(df) >= 0
     assert len(df.columns) > 0
+
+
+def test_budget_trim_cross_batch_overflow(tmp_path):
+    """Regression (r5 code review): the pre-trim must keep each (batch,
+    source) run's FIRST overflow doc — dropping it removes its n_chars
+    from later docs' global cumsum and over-keeps docs past the budget
+    when a source spans batches. Crafted so block 1 overflows (3000+3000)
+    and block 2 holds a higher doc_id that must NOT be kept (true cum
+    7000 > 5000)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastpasta_ray.pipelines.queries import QUERIES
+
+    d = str(tmp_path / "sfx")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "source": pa.array(["s", "s", "s"]),
+            "n_chars": pa.array([3000, 3000, 1000], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    got = QUERIES["budget_trim"](d).to_pydict()
+    # only doc 1 fits the 5000 budget (cum 3000, 6000, 7000)
+    assert got == {"source": ["s"], "n_docs": [1], "n_chars_kept": [3000]}
