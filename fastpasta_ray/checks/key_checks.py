@@ -668,8 +668,19 @@ def key_checks_dataset(
             cands = cands.slice(0, max_candidates_per_bucket)
         return _recover_violations(cands, files_r, manifest_path, batch_rows)
 
-    return tagged.groupby("bucket").map_groups(
-        bucket_to_violations, batch_format="pyarrow"
+    # Range-partition by the HIGH-cardinality hash itself, not the 64-value
+    # bucket: a sort makes one output range per input block, and sampled
+    # boundaries over a low-cardinality key collide (duplicate boundary
+    # values), producing EMPTY ranges that come back as schema-less blocks
+    # and flip the stream schema (VERDICT r4 #5; coalescing only lowers the
+    # odds). Over ~2^64 hash values duplicate boundaries are vanishingly
+    # rare, equal hashes still land in one partition (Ray's sort never
+    # splits a key run — map_groups depends on that), and
+    # _bucket_candidates segments by exact h internally, so any
+    # co-located superset of hashes is a valid work unit. The cap applies
+    # per partition (a superset of the old per-bucket unit).
+    return tagged.sort("h").map_batches(
+        bucket_to_violations, batch_format="pyarrow", batch_size=None
     )
 
 

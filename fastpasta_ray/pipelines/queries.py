@@ -114,6 +114,10 @@ def q_lineitem_agg(sf_dir: str):
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
+        # the partials are <= 6 rows/block; coalesce below the group
+        # cardinality so the sort-based aggregate makes no empty (schema-
+        # less) output partitions (VERDICT r4 #5)
+        .repartition(2)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("q_part", alias_name="sum_qty"),
