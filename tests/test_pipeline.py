@@ -467,3 +467,51 @@ def test_fixture_storage_layout(tmp_path):
     }
     assert "RLE_DICTIONARY" not in enc2["tokens.list.element"]
     assert "RLE_DICTIONARY" in enc2["source"]
+
+
+def test_grouped_no_schema_flip_on_empty_blocks():
+    """Regression (VERDICT r4 #5): the sort-based groupby in dedup._grouped
+    must not emit schema-less empty blocks when its input carries many
+    typed-EMPTY blocks (the jaccard-verify set-scan shape) — the coalesce
+    keeps output partitions <= key cardinality. Without it this exact
+    shape reliably produced 'RefBundle with a different schema' warnings
+    from ray.data's streaming executor."""
+    import logging
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    import fastpasta_ray.functions.dedup as D
+
+    records: list[str] = []
+
+    class _H(logging.Handler):
+        def emit(self, r):  # pragma: no cover - trivial
+            records.append(r.getMessage())
+
+    h = _H(level=logging.WARNING)
+    logging.getLogger("ray.data").addHandler(h)
+    try:
+        SCH = pa.schema([("key", pa.int64()), ("v", pa.int64())])
+        tables = [
+            pa.table(
+                {
+                    "key": pa.array(np.arange(32) % 32, pa.int64()),
+                    "v": pa.array(np.arange(32), pa.int64()),
+                }
+            )
+        ]
+        tables += [
+            pa.Table.from_arrays([pa.array([], type=f.type) for f in SCH], schema=SCH)
+            for _ in range(40)
+        ]
+        ds = ray.data.from_arrow(tables)
+        out = D._grouped(
+            ds, "key", lambda g: g, n_rows=32, small_rows=0, key_card=32, as_table=True
+        )
+        assert out.num_rows == 32
+        flips = [m for m in records if "different schema" in m]
+        assert flips == [], flips
+    finally:
+        logging.getLogger("ray.data").removeHandler(h)
