@@ -2523,3 +2523,147 @@ ORACLES["media_stats"] = """
     ORDER BY media_id
 """
 QUERIES["media_stats"] = q_media_stats
+
+
+# ---------------------------------------------------------------------------
+# Decontamination DROP side: functions/decontam.decontaminate (previously
+# CLI/test-covered only) gets its own hard-signal oracle — the cleaned
+# corpus per source, i.e. what a training run would actually consume.
+# ---------------------------------------------------------------------------
+
+def q_decontam_clean_count(sf_dir: str):
+    """Per-source surviving-document counts after dropping every corpus doc
+    with >= 1 word-3-gram shared with the benchmark slice (doc_id % 101 ==
+    0, the contamination_check convention). Same broadcast + one streaming
+    pass shape as contamination_check; per-batch (source, count) partials
+    fold driver-side (tiny: sources x blocks rows)."""
+    from fastpasta_ray.functions.decontam import decontaminate
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source", "text"], blocks=8)
+
+    def _mod_filter(keep_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            did = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = did % 101 == 0
+            return b.filter(pa.array(m if keep_bench else ~m))
+
+        return f
+
+    bench = ds.map_batches(_mod_filter(True), batch_format="pyarrow").repartition(2)
+    corpus = ds.map_batches(_mod_filter(False), batch_format="pyarrow")
+    clean = decontaminate(corpus, bench, ngram_n=3)
+
+    def per_source(b: pa.Table) -> pa.Table:
+        g = b.group_by("source").aggregate([("doc_id", "count")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_clean": pc.cast(g["doc_id_count"], pa.int64()),
+            }
+        )
+
+    parts = _to_table(clean.map_batches(per_source, batch_format="pyarrow"))
+    acc: dict = {}
+    for r in parts.to_pylist():
+        acc[r["source"]] = acc.get(r["source"], 0) + r["n_clean"]
+    srcs = sorted(acc, key=lambda s: (s is None, s or ""))
+    return pa.table(
+        {
+            "source": pa.array(srcs, type=pa.string()),
+            "n_clean": pa.array([acc[s] for s in srcs], type=pa.int64()),
+        }
+    )
+
+
+ORACLES["decontam_clean_count"] = """
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+          FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+    gu AS (SELECT DISTINCT doc_id, sh FROM g),
+    bench AS (SELECT DISTINCT sh FROM gu WHERE doc_id % 101 = 0),
+    dirty AS (SELECT DISTINCT c.doc_id
+              FROM gu c JOIN bench b ON c.sh = b.sh
+              WHERE c.doc_id % 101 <> 0)
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_clean
+    FROM documents d
+    WHERE d.doc_id % 101 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+    GROUP BY d.source ORDER BY d.source
+"""
+QUERIES["decontam_clean_count"] = q_decontam_clean_count
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape (priority-split line counts per return flag) — the
+# conditional-count join workload. Broadcast-probe plan like Q3: orders'
+# (orderkey -> is_high_priority) is the broadcast side; at corpus scale
+# where orders outgrows the broadcast envelope this becomes the R8 shuffle
+# join (q_lines_per_orderpriority demonstrates that plan).
+# ---------------------------------------------------------------------------
+
+def q12_priority_lines(sf_dir: str):
+    orders = _to_table(_rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]))
+    ok = orders["o_orderkey"].to_numpy()
+    hi = pc.is_in(
+        orders["o_orderpriority"], value_set=pa.array(["1-URGENT", "2-HIGH"])
+    ).to_numpy(zero_copy_only=False)
+    order = np.argsort(ok)
+    lookup = ray.put((ok[order], hi[order]))
+
+    lo_us = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi_us = np.datetime64("1997-01-01", "us").astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys, is_hi = ray.get(lookup)  # zero-copy plasma read per task
+        sd = b["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        m = (sd >= lo_us) & (sd < hi_us)
+        b = b.filter(pa.array(m))
+        lk = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(keys, lk), 0, max(len(keys) - 1, 0))
+        hit = keys[pos] == lk if len(keys) else np.zeros(len(lk), bool)
+        b = b.filter(pa.array(hit))
+        line_hi = is_hi[pos[hit]]
+        from fastpasta_ray.sketches import group_codes
+
+        codes, uniques = group_codes(b["l_returnflag"], include_null=True)
+        rows = {"l_returnflag": [], "high_part": [], "low_part": []}
+        for k, flag in enumerate(uniques):
+            mm = codes == k
+            rows["l_returnflag"].append(flag)
+            rows["high_part"].append(int(line_hi[mm].sum()))
+            rows["low_part"].append(int((~line_hi[mm]).sum()))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(rows["l_returnflag"], type=pa.string()),
+                "high_part": pa.array(rows["high_part"], type=pa.int64()),
+                "low_part": pa.array(rows["low_part"], type=pa.int64()),
+            }
+        )
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"])
+    parts = _to_table(li.map_batches(partial, batch_format="pyarrow"))
+    acc: dict = {}
+    for r in parts.to_pylist():
+        a = acc.setdefault(r["l_returnflag"], [0, 0])
+        a[0] += r["high_part"]
+        a[1] += r["low_part"]
+    flags = sorted(acc, key=lambda s: (s is None, s or ""))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags, type=pa.string()),
+            "high_line_count": pa.array([acc[f][0] for f in flags], type=pa.int64()),
+            "low_line_count": pa.array([acc[f][1] for f in flags], type=pa.int64()),
+        }
+    )
+
+
+ORACLES["q12_priority_lines"] = """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+QUERIES["q12_priority_lines"] = q12_priority_lines
