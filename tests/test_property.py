@@ -533,3 +533,35 @@ def test_segment_fatal_carry_batch_split_invariant(seg_specs_rows, split):
         nf_all.extend(nf)
     assert sorted(got) == one
     assert sorted(nf_all) == sorted(nf_one)
+
+
+# ---------------------------------------------------------------------------
+# _seed_centroids: block-layout independence (it replaced a deterministic
+# ds.sort().limit(k) — the min-k partial reduce must return the SAME
+# centroids for any partitioning of the same rows)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.integers(0, 10_000), min_size=9, max_size=40, unique=True),
+    st.integers(1, 5),
+)
+def test_seed_centroids_layout_independent(vec_ids, n_blocks):
+    import ray
+
+    from fastpasta_ray.pipelines.queries import _seed_centroids
+
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(len(vec_ids), 4)).round(3)
+    t = pa.table(
+        {
+            "vec_id": pa.array(vec_ids, type=pa.int64()),
+            "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float64())),
+        }
+    )
+    step = max(1, len(vec_ids) // n_blocks)
+    blocks = [t.slice(i, step) for i in range(0, len(vec_ids), step)]
+    got = _seed_centroids(ray.data.from_arrow(blocks), 8)
+    order = np.argsort(np.asarray(vec_ids))[:8]
+    expected = emb[order]
+    assert np.array_equal(got, expected)
