@@ -297,6 +297,8 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
             "budget_trim",
             "top_docs_per_source",
             "media_stats",
+            "decontam_clean_count",
+            "q12_priority_lines",
         ):
             reps: list[float] = []
             while len(reps) < 2 or (
